@@ -1,0 +1,151 @@
+"""Simulation configuration.
+
+Gathers everything the driver and the jitted transport step need into one
+immutable dataclass, decoupled from the params-file grammar (params.py) so
+configs can also be constructed programmatically (tests, sweeps, notebooks).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field, replace
+
+from . import params as params_mod
+
+
+@dataclass(frozen=True)
+class SourceBox:
+    """Particle source region, in fractions of the domain extent."""
+    xpos: float
+    ypos: float
+    width: float
+    height: float
+
+
+@dataclass(frozen=True)
+class ProblemRegion:
+    """A rectangular density region (later regions overwrite earlier ones)."""
+    density: float
+    xpos: float
+    ypos: float
+    width: float
+    height: float
+
+
+@dataclass(frozen=True)
+class SimConfig:
+    # Mesh
+    nx: int
+    ny: int
+    width: float = 1.0
+    height: float = 1.0
+
+    # Time stepping
+    dt: float = 1.0e-7
+    niters: int = 1
+    sim_end: float = 1.0
+
+    # Particles
+    nparticles: int = 1000
+    initial_energy: float = 1.0e3
+
+    source: SourceBox = SourceBox(0.0, 0.0, 1.0, 1.0)
+    problems: tuple[ProblemRegion, ...] = ()
+
+    # Numerics
+    dtype: str = "float32"          # particle/compute dtype
+    tally_dtype: str = "float32"    # energy-deposition tally dtype
+
+    # Event-sweep tuning
+    events_per_sweep: int = 1       # inner unrolled events per HBM round-trip
+    compact_every: int = 0          # 0 = never compact live particles
+
+    # IO / misc
+    visit_dump: bool = False
+    expected_tally: float | None = None   # golden value for validation
+    params_path: str = ""
+
+    def with_(self, **kw) -> "SimConfig":
+        return replace(self, **kw)
+
+
+def load_config(problem_path: str) -> SimConfig:
+    """Build a SimConfig from a reference-format problem deck.
+
+    Reads the app-level deck, then overlays harness-level keys
+    (width/height/sim_end) from a sibling arch.params if one exists, else
+    from the deck itself, else defaults (1.0/1.0/1.0 — the geometry the
+    reference goldens were generated under).
+    """
+    pf = params_mod.parse_params(problem_path)
+    arch = params_mod.find_arch_params(problem_path)
+
+    def harness(name: str, default: float) -> float:
+        if name in pf.scalars:
+            return pf.get_double(name)
+        if arch is not None and name in arch.scalars:
+            return arch.get_double(name)
+        return default
+
+    src_entry = pf.get_key_value("source")
+    if src_entry is None:
+        raise ValueError(f"{problem_path}: no 'source' entry")
+    src = dict(src_entry)
+    # The reference takes the last four values as xpos/ypos/width/height
+    # (neutral_data.c:40-43); we match by key for clarity.
+    source = SourceBox(src["xpos"], src["ypos"], src["width"], src["height"])
+
+    problems = []
+    for entry in pf.problem_entries():
+        d = dict(entry)
+        problems.append(ProblemRegion(
+            density=d["density"], xpos=d["xpos"], ypos=d["ypos"],
+            width=d["width"], height=d["height"]))
+
+    expected = _find_expected_tally(problem_path)
+
+    return SimConfig(
+        nx=pf.get_int("nx"),
+        ny=pf.get_int("ny"),
+        width=harness("width", 1.0),
+        height=harness("height", 1.0),
+        dt=pf.get_double("dt"),
+        niters=pf.get_int("iterations"),
+        sim_end=harness("sim_end", 1.0),
+        nparticles=pf.get_int("nparticles"),
+        initial_energy=pf.get_double("initial_energy"),
+        source=source,
+        problems=tuple(problems),
+        visit_dump=bool(pf.get_int("visit_dump", 0)),
+        expected_tally=expected,
+        params_path=problem_path,
+    )
+
+
+def _find_expected_tally(problem_path: str) -> float | None:
+    """Look up the golden tally for this deck in a `neutral.tests` file.
+
+    Same contract as the reference (omp3/neutral.c:541-545): a file of
+    `<deck-path> result=<value>` lines living at problems/neutral.tests
+    relative to the working directory — we also accept one next to the deck.
+    """
+    cands = [
+        os.path.join(os.path.dirname(os.path.abspath(problem_path)),
+                     "neutral.tests"),
+        os.path.join("problems", "neutral.tests"),
+    ]
+    base = os.path.basename(problem_path)
+    for cand in cands:
+        if not os.path.isfile(cand):
+            continue
+        with open(cand) as f:
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                if os.path.basename(parts[0]) != base:
+                    continue
+                for tok in parts[1:]:
+                    if tok.startswith("result="):
+                        return float(tok.split("=", 1)[1])
+    return None

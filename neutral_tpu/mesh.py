@@ -1,0 +1,81 @@
+"""2D structured mesh: edge coordinate arrays and the material density field.
+
+TPU-native replacement for the arch harness's mesh + shared-data modules
+(reference call sites: main.c:62-71, the inferred `initialise_mesh_2d` and
+`initialise_shared_data_2d`).  The mesh is a pytree of device arrays:
+
+  * edgex (nx+1,), edgey (ny+1,) — cell edge coordinates (supports
+    non-uniform meshes; the builders below produce uniform ones),
+  * density (ny, nx) — built from the deck's `problem_N` rectangles, later
+    entries overwriting earlier ones (membership test: cell center inside
+    the half-open box [lo, hi)).
+
+Everything is stored in the simulation compute dtype.  For the sharded mode
+the same global arrays are constructed and then sharded by the caller
+(parallel/sharding.py) — mesh construction itself is cheap and happens once.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import SimConfig
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class Mesh2D:
+    nx: int
+    ny: int
+    width: float
+    height: float
+    edgex: jnp.ndarray   # (nx+1,)
+    edgey: jnp.ndarray   # (ny+1,)
+    density: jnp.ndarray  # (ny, nx)
+
+    def tree_flatten(self):
+        return ((self.edgex, self.edgey, self.density),
+                (self.nx, self.ny, self.width, self.height))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        nx, ny, width, height = aux
+        edgex, edgey, density = children
+        return cls(nx, ny, width, height, edgex, edgey, density)
+
+
+def build_density(cfg: SimConfig, dtype=np.float64) -> np.ndarray:
+    """Density field from problem regions (host-side numpy)."""
+    density = np.zeros((cfg.ny, cfg.nx), dtype=np.float64)
+    # Cell centers in physical coordinates.
+    cx = (np.arange(cfg.nx) + 0.5) * (cfg.width / cfg.nx)
+    cy = (np.arange(cfg.ny) + 0.5) * (cfg.height / cfg.ny)
+    for region in cfg.problems:
+        x0 = region.xpos * cfg.width
+        y0 = region.ypos * cfg.height
+        x1 = x0 + region.width * cfg.width
+        y1 = y0 + region.height * cfg.height
+        mx = (cx >= x0) & (cx < x1)
+        my = (cy >= y0) & (cy < y1)
+        density[np.ix_(my, mx)] = region.density
+    return density.astype(dtype)
+
+
+def build_mesh(cfg: SimConfig, dtype=None) -> Mesh2D:
+    """Uniform mesh + density field as device arrays."""
+    dtype = jnp.dtype(dtype or cfg.dtype)
+    # Edges computed in f64 on host then cast: matches the reference's
+    # uniform spacing (edge[i] = i * width / nx) to the target precision.
+    edgex = (np.arange(cfg.nx + 1, dtype=np.float64) * (cfg.width / cfg.nx))
+    edgey = (np.arange(cfg.ny + 1, dtype=np.float64) * (cfg.height / cfg.ny))
+    density = build_density(cfg, dtype=np.dtype(dtype))
+    return Mesh2D(
+        nx=cfg.nx, ny=cfg.ny, width=cfg.width, height=cfg.height,
+        edgex=jnp.asarray(edgex.astype(np.dtype(dtype))),
+        edgey=jnp.asarray(edgey.astype(np.dtype(dtype))),
+        density=jnp.asarray(density),
+    )

@@ -1,0 +1,121 @@
+"""Particle state (SoA pytree) and source injection.
+
+The reference's Particle struct (AoS and SoA variants,
+/root/reference/neutral_data.h:45-81) maps to a pytree of (N,) arrays — the
+TPU-native SoA layout.  Extra fields relative to the reference:
+
+  * pid      — immutable global particle id; the RNG stream key.  Making it
+               explicit (instead of "array index") keeps histories bitwise
+               stable under compaction, sorting and sharding.
+  * counter  — per-history RNG draw counter for the current timestep.  Each
+               lane consumes a different number of draws, so the counter must
+               be per-lane state for vectorized sweeps to reproduce the
+               reference's sequential streams (omp3/neutral.c:122-131).
+  * deposit  — energy deposition accumulated since the last tally flush
+               (the reference keeps this in a thread-local scalar,
+               omp3/neutral.c:118).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, fields
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import rng
+from .mesh import Mesh2D
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class ParticleState:
+    x: jnp.ndarray
+    y: jnp.ndarray
+    omega_x: jnp.ndarray
+    omega_y: jnp.ndarray
+    energy: jnp.ndarray
+    weight: jnp.ndarray
+    dt_to_census: jnp.ndarray
+    mfp_to_collision: jnp.ndarray
+    deposit: jnp.ndarray
+    cellx: jnp.ndarray          # int32, global cell index
+    celly: jnp.ndarray          # int32
+    dead: jnp.ndarray           # bool
+    pid: jnp.ndarray            # uint32
+    counter: jnp.ndarray        # uint32
+
+    def tree_flatten(self):
+        return tuple(getattr(self, f.name) for f in fields(self)), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def n(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def dtype(self):
+        return self.x.dtype
+
+
+def inject_particles(mesh: Mesh2D, *, nparticles: int, source_x0: float,
+                     source_y0: float, source_width: float,
+                     source_height: float, initial_energy: float, dt: float,
+                     dtype=jnp.float32, pid_offset: int = 0,
+                     pad_to: int | None = None) -> ParticleState:
+    """Vectorized source injection.
+
+    Reproduces the reference's init (omp3/neutral.c:576-625): position from
+    draw (pid, 0, counter=0), cell from an edge search, isotropic angle
+    theta = 2*pi*rn from draw (pid, 0, counter=1), unit weight, zero mean
+    free paths.  `pad_to` grows the arrays with dead padding lanes so shard
+    sizes can be made equal across devices.
+
+    Source geometry arguments are in *physical* coordinates (the caller
+    multiplies the deck's fractional box by the domain extent).
+    """
+    dtype = jnp.dtype(dtype)
+    n = int(nparticles)
+    total = int(pad_to) if pad_to is not None else n
+    if total < n:
+        raise ValueError("pad_to must be >= nparticles")
+
+    pid = (jnp.arange(total, dtype=jnp.uint32) + np.uint32(pid_offset))
+
+    # Draws use master_key=0: injection happens before the first timestep.
+    r0a, r0b = rng.uniform2(pid, jnp.uint32(0), jnp.uint32(0), dtype)
+    x = jnp.asarray(source_x0, dtype) + r0a * jnp.asarray(source_width, dtype)
+    y = jnp.asarray(source_y0, dtype) + r0b * jnp.asarray(source_height, dtype)
+
+    # Cell search over the (possibly non-uniform) edge arrays — equivalent to
+    # the reference's linear scan with [edge[i], edge[i+1]) membership.
+    cellx = jnp.clip(jnp.searchsorted(mesh.edgex, x, side="right") - 1,
+                     0, mesh.nx - 1).astype(jnp.int32)
+    celly = jnp.clip(jnp.searchsorted(mesh.edgey, y, side="right") - 1,
+                     0, mesh.ny - 1).astype(jnp.int32)
+
+    r1a, _ = rng.uniform2(pid, jnp.uint32(0), jnp.uint32(1), dtype)
+    theta = jnp.asarray(2.0 * np.pi, dtype) * r1a
+    omega_x = jnp.cos(theta)
+    omega_y = jnp.sin(theta)
+
+    lane = jnp.arange(total)
+    alive = lane < n
+
+    zeros = jnp.zeros(total, dtype)
+    return ParticleState(
+        x=x, y=y, omega_x=omega_x, omega_y=omega_y,
+        energy=jnp.where(alive, jnp.asarray(initial_energy, dtype), zeros),
+        weight=jnp.where(alive, jnp.ones(total, dtype), zeros),
+        dt_to_census=jnp.where(alive, jnp.asarray(dt, dtype), zeros),
+        mfp_to_collision=zeros,
+        deposit=zeros,
+        cellx=cellx, celly=celly,
+        dead=~alive,
+        pid=pid,
+        counter=jnp.zeros(total, jnp.uint32),
+    )

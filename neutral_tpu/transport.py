@@ -1,0 +1,336 @@
+"""Event-based Monte Carlo transport: the TPU-native compute core.
+
+The reference tracks each particle history in an unbounded, divergent
+per-thread `while` loop (omp3/neutral.c:134-197, cuda/neutral.k:148-494).
+That formulation is hostile to wide SIMD; its own README points at the
+`event-based` branches as the data-parallel reformulation.  This module IS
+that reformulation, built for XLA:
+
+  one *event sweep* advances every live particle through exactly one event
+  (facet crossing / collision / census) simultaneously, with masked lanes,
+  and a `lax.while_loop` repeats sweeps until every particle has reached
+  census or died.
+
+Physics per event is behaviorally identical to the reference (all formulas
+cited inline).  Reproducibility comes from the counter-based RNG: each lane
+advances its own draw counter exactly as the sequential history loop would,
+so tallies and event counts match the reference semantics bit-for-bit in
+float64 and to statistical tolerance in float32.
+
+Structure-of-arrays state, gathers for cross-sections/edges/density,
+scatter-add for tallies — no atomics, no data races, by construction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import rng
+from .constants import (AVOGADROS, BARNS, EV_TO_J, MASS_NO,
+                        MIN_ENERGY_OF_INTEREST, MOLAR_MASS,
+                        OPEN_BOUND_CORRECTION, PARTICLE_MASS)
+from .mesh import Mesh2D
+from .particles import ParticleState
+from .xs import CrossSection
+
+# Derived scalar constants (float64 python values; cast at use sites).
+_INV_MOLAR = AVOGADROS / MOLAR_MASS
+_A = MASS_NO
+_AVG_SCATTER_FRAC = (_A * _A + _A + 1.0) / ((_A + 1.0) * (_A + 1.0))
+_SPEED_COEF = 2.0 * EV_TO_J / PARTICLE_MASS
+
+
+@dataclass(frozen=True)
+class Geometry:
+    """Static geometry of this shard's view of the problem.
+
+    For the replicated-mesh mode every shard sees the whole domain
+    (x_off = y_off = 0, nx/ny = global).  The spatially-sharded mode sets
+    offsets so tally/density indexing is shard-local while reflection still
+    happens at the *global* boundary (reference: omp3/neutral.c:333-369).
+    """
+    global_nx: int
+    global_ny: int
+    nx: int            # local density/tally extent
+    ny: int
+    x_off: int = 0
+    y_off: int = 0
+
+
+@dataclass(frozen=True)
+class EventCounts:
+    """u64 event counters carried as uint32 (hi, lo) pairs (TPU-native)."""
+    nfacets_hi: jnp.ndarray
+    nfacets_lo: jnp.ndarray
+    ncollisions_hi: jnp.ndarray
+    ncollisions_lo: jnp.ndarray
+
+    @classmethod
+    def zeros(cls) -> "EventCounts":
+        z = jnp.zeros((), jnp.uint32)
+        return cls(z, z, z, z)
+
+    def add(self, nfacets_u32, ncollisions_u32) -> "EventCounts":
+        fh, fl = rng._add64(self.nfacets_hi, self.nfacets_lo,
+                            jnp.uint32(0), nfacets_u32)
+        ch, cl = rng._add64(self.ncollisions_hi, self.ncollisions_lo,
+                            jnp.uint32(0), ncollisions_u32)
+        return EventCounts(fh, fl, ch, cl)
+
+    def totals(self) -> tuple[int, int]:
+        """Host-side (nfacets, ncollisions)."""
+        return (int(self.nfacets_hi) * (1 << 32) + int(self.nfacets_lo),
+                int(self.ncollisions_hi) * (1 << 32) + int(self.ncollisions_lo))
+
+
+jax.tree_util.register_pytree_node(
+    EventCounts,
+    lambda c: ((c.nfacets_hi, c.nfacets_lo, c.ncollisions_hi,
+                c.ncollisions_lo), None),
+    lambda aux, ch: EventCounts(*ch))
+
+
+def _macroscopic(density, sig):
+    return density * _INV_MOLAR * sig * BARNS
+
+
+def _speed_of(energy):
+    return jnp.sqrt(jnp.asarray(_SPEED_COEF, energy.dtype) * energy)
+
+
+def _heating_response(energy, sig_a, sig_t):
+    """Energy deposited per unit (weight * path * macro_total).
+
+    reference: calculate_energy_deposition, omp3/neutral.c:474-495 — the
+    average absorption exit energy is 0, so only the scattering term remains.
+    """
+    absorb_frac = sig_a / sig_t
+    avg_exit_scatter = energy * jnp.asarray(_AVG_SCATTER_FRAC, energy.dtype)
+    return energy - (1.0 - absorb_frac) * avg_exit_scatter
+
+
+def begin_timestep(state: ParticleState, mesh: Mesh2D, geom: Geometry,
+                   scatter_tab: CrossSection, dt: float,
+                   master_key) -> ParticleState:
+    """Per-timestep (re)initialisation.
+
+    Resets the census clock and samples fresh mean-free-paths for every
+    surviving particle — the reference does this at the top of every
+    handle_particles call with draw counter 0 (omp3/neutral.c:127-131).
+    """
+    dtype = state.dtype
+    live = ~state.dead
+
+    lx = state.cellx - geom.x_off
+    ly = state.celly - geom.y_off
+    density = mesh.density.reshape(-1)[
+        jnp.clip(ly * geom.nx + lx, 0, geom.nx * geom.ny - 1)]
+    sig_s = scatter_tab.lookup(state.energy)
+    mac_s = _macroscopic(density, sig_s)
+
+    r0, _ = rng.uniform2(state.pid, master_key, jnp.uint32(0), dtype)
+    mfp = -jnp.log(r0) / mac_s
+
+    return ParticleState(
+        x=state.x, y=state.y, omega_x=state.omega_x, omega_y=state.omega_y,
+        energy=state.energy, weight=state.weight,
+        dt_to_census=jnp.where(live, jnp.asarray(dt, dtype),
+                               jnp.zeros_like(state.dt_to_census)),
+        mfp_to_collision=jnp.where(live, mfp, state.mfp_to_collision),
+        deposit=state.deposit,
+        cellx=state.cellx, celly=state.celly, dead=state.dead,
+        pid=state.pid,
+        counter=jnp.ones_like(state.counter),
+    )
+
+
+def event_sweep(state: ParticleState, tally: jnp.ndarray, mesh: Mesh2D,
+                geom: Geometry, scatter_tab: CrossSection,
+                absorb_tab: CrossSection, master_key,
+                inv_ntotal: float) -> tuple[ParticleState, jnp.ndarray,
+                                            jnp.ndarray, jnp.ndarray]:
+    """Advance every live particle through exactly one event.
+
+    Returns (state', tally', nfacets_u32, ncollisions_u32).
+    """
+    dtype = state.dtype
+    zero = jnp.zeros((), dtype)
+    live = (~state.dead) & (state.dt_to_census > zero)
+
+    # ---- local material state (pure function of particle state) ----------
+    lx = state.cellx - geom.x_off
+    ly = state.celly - geom.y_off
+    flat_cell = jnp.clip(ly * geom.nx + lx, 0, geom.nx * geom.ny - 1)
+    density = mesh.density.reshape(-1)[flat_cell]
+    sig_s = scatter_tab.lookup(state.energy)
+    sig_a = absorb_tab.lookup(state.energy)
+    sig_t = sig_s + sig_a
+    number_density = density * jnp.asarray(_INV_MOLAR, dtype)
+    mac_s = number_density * sig_s * jnp.asarray(BARNS, dtype)
+    mac_a = number_density * sig_a * jnp.asarray(BARNS, dtype)
+    mac_t = mac_s + mac_a
+    cell_mfp = 1.0 / mac_t
+    speed = _speed_of(state.energy)
+
+    # ---- three candidate distances (reference: omp3/neutral.c:423-471) ----
+    ex_lo = mesh.edgex[jnp.clip(state.cellx, 0, geom.global_nx - 1)]
+    ex_hi = mesh.edgex[jnp.clip(state.cellx + 1, 0, geom.global_nx)]
+    ey_lo = mesh.edgey[jnp.clip(state.celly, 0, geom.global_ny - 1)]
+    ey_hi = mesh.edgey[jnp.clip(state.celly + 1, 0, geom.global_ny)]
+    obc = jnp.asarray(OPEN_BOUND_CORRECTION, dtype)
+    u_x_inv = 1.0 / (state.omega_x * speed)
+    u_y_inv = 1.0 / (state.omega_y * speed)
+    dt_x = jnp.where(state.omega_x >= zero,
+                     (ex_hi - state.x) * u_x_inv,
+                     (ex_lo - obc - state.x) * u_x_inv)
+    dt_y = jnp.where(state.omega_y >= zero,
+                     (ey_hi - state.y) * u_y_inv,
+                     (ey_lo - obc - state.y) * u_y_inv)
+    x_facet = dt_x < dt_y
+    d_facet = jnp.where(x_facet, dt_x, dt_y) * speed
+
+    d_coll = state.mfp_to_collision * cell_mfp
+    d_census = speed * state.dt_to_census
+
+    is_coll = (d_coll < d_facet) & (d_coll < d_census) & live
+    is_facet = (~is_coll) & (d_facet < d_census) & live
+    is_census = live & (~is_coll) & (~is_facet)
+
+    dist = jnp.where(is_coll, d_coll, jnp.where(is_facet, d_facet, d_census))
+
+    # ---- segment energy deposition (pre-event state) ----------------------
+    ed = (state.weight * dist * (sig_t * jnp.asarray(BARNS, dtype))
+          * _heating_response(state.energy, sig_a, sig_t) * number_density)
+    deposit = state.deposit + jnp.where(live, ed, zero)
+
+    # ---- move to the event site -------------------------------------------
+    x = state.x + jnp.where(live, dist * state.omega_x, zero)
+    y = state.y + jnp.where(live, dist * state.omega_y, zero)
+
+    # ---- collision branch (reference: omp3/neutral.c:209-300) -------------
+    p_absorb = mac_a / mac_t
+    rn1a, rn1b = rng.uniform2(state.pid, master_key, state.counter, dtype)
+    absorbed = rn1a < p_absorb
+    weight = jnp.where(is_coll & absorbed,
+                       state.weight * (1.0 - p_absorb), state.weight)
+    died = is_coll & absorbed & (state.energy
+                                 < jnp.asarray(MIN_ENERGY_OF_INTEREST, dtype))
+
+    a = jnp.asarray(_A, dtype)
+    mu_cm = 1.0 - 2.0 * rn1b
+    e_new = state.energy * (a * a + 2.0 * a * mu_cm + 1.0) / ((a + 1.0)
+                                                              * (a + 1.0))
+    cos_t = 0.5 * ((a + 1.0) * jnp.sqrt(e_new / state.energy)
+                   - (a - 1.0) * jnp.sqrt(state.energy / e_new))
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, zero))
+    scattered = is_coll & (~absorbed)
+    omega_x = jnp.where(scattered,
+                        state.omega_x * cos_t - state.omega_y * sin_t,
+                        state.omega_x)
+    omega_y = jnp.where(scattered,
+                        state.omega_x * sin_t + state.omega_y * cos_t,
+                        state.omega_y)
+    energy = jnp.where(scattered, e_new, state.energy)
+
+    counter = state.counter + is_coll.astype(jnp.uint32)
+
+    # Re-sample mean free paths for surviving collisions, using the
+    # post-collision energy's scattering cross-section in the same cell.
+    sig_s2 = scatter_tab.lookup(energy)
+    mac_s2 = number_density * sig_s2 * jnp.asarray(BARNS, dtype)
+    rn2a, _ = rng.uniform2(state.pid, master_key, counter, dtype)
+    coll_alive = is_coll & (~died)
+    counter = counter + coll_alive.astype(jnp.uint32)
+    mfp = jnp.where(coll_alive, -jnp.log(rn2a) / mac_s2,
+                    state.mfp_to_collision)
+    dt_to_census = state.dt_to_census - jnp.where(is_coll, d_coll / speed,
+                                                  zero)
+
+    # ---- facet branch (reference: omp3/neutral.c:303-380) ------------------
+    mfp = jnp.where(is_facet, mfp - d_facet / cell_mfp, mfp)
+    dt_to_census = dt_to_census - jnp.where(is_facet, d_facet / speed, zero)
+
+    # ---- census branch (reference: omp3/neutral.c:383-405) -----------------
+    mfp = jnp.where(is_census, mfp - d_census / cell_mfp, mfp)
+    dt_to_census = jnp.where(is_census, zero, dt_to_census)
+
+    # ---- tally flush: leaving a cell, dying, or reaching census ------------
+    # (reference flush sites: omp3/neutral.c:248-250, 325-327, 400-402;
+    # scatter-add replaces the reference's atomics.)
+    flush = is_facet | is_census | died
+    contrib = jnp.where(flush, deposit, zero).astype(tally.dtype)
+    contrib = contrib * jnp.asarray(inv_ntotal, tally.dtype)
+    tally = tally.at[flat_cell].add(contrib, mode="promise_in_bounds")
+    deposit = jnp.where(flush, zero, deposit)
+
+    # ---- facet cell transition / boundary reflection ------------------------
+    fx = is_facet & x_facet
+    fy = is_facet & (~x_facet)
+    pos_x = omega_x > zero
+    neg_x = omega_x < zero
+    pos_y = omega_y > zero
+    neg_y = omega_y < zero
+    refl_x = (fx & pos_x & (state.cellx >= geom.global_nx - 1)) | \
+             (fx & neg_x & (state.cellx <= 0))
+    refl_y = (fy & pos_y & (state.celly >= geom.global_ny - 1)) | \
+             (fy & neg_y & (state.celly <= 0))
+    step_x = (fx & pos_x & (state.cellx < geom.global_nx - 1)).astype(jnp.int32) \
+        - (fx & neg_x & (state.cellx > 0)).astype(jnp.int32)
+    step_y = (fy & pos_y & (state.celly < geom.global_ny - 1)).astype(jnp.int32) \
+        - (fy & neg_y & (state.celly > 0)).astype(jnp.int32)
+    omega_x = jnp.where(refl_x, -omega_x, omega_x)
+    omega_y = jnp.where(refl_y, -omega_y, omega_y)
+    cellx = state.cellx + step_x
+    celly = state.celly + step_y
+
+    dead = state.dead | died
+
+    nfacets = jnp.count_nonzero(is_facet).astype(jnp.uint32)
+    ncollisions = jnp.count_nonzero(is_coll).astype(jnp.uint32)
+
+    new_state = ParticleState(
+        x=x, y=y, omega_x=omega_x, omega_y=omega_y, energy=energy,
+        weight=weight, dt_to_census=dt_to_census, mfp_to_collision=mfp,
+        deposit=deposit, cellx=cellx, celly=celly, dead=dead,
+        pid=state.pid, counter=counter)
+    return new_state, tally, nfacets, ncollisions
+
+
+@partial(jax.jit, static_argnames=("geom", "max_sweeps", "events_per_sweep"))
+def run_timestep(state: ParticleState, tally: jnp.ndarray, mesh: Mesh2D,
+                 scatter_tab: CrossSection, absorb_tab: CrossSection,
+                 geom: Geometry, dt: float, master_key, inv_ntotal: float,
+                 max_sweeps: int = 1_000_000, events_per_sweep: int = 1):
+    """One full census timestep: sweep events until no particle is live.
+
+    Equivalent of the reference's solve_transport_2d/handle_particles
+    (omp3/neutral.c:19-206) for one batch.  Returns
+    (state, tally, counts, nprocessed, nsweeps).
+    """
+    state = begin_timestep(state, mesh, geom, scatter_tab, dt, master_key)
+    nprocessed = jnp.count_nonzero(~state.dead).astype(jnp.uint32)
+
+    def live_any(s: ParticleState):
+        return jnp.any((~s.dead) & (s.dt_to_census > 0))
+
+    def cond(carry):
+        s, _, _, it = carry
+        return live_any(s) & (it < max_sweeps)
+
+    def body(carry):
+        s, t, counts, it = carry
+        for _ in range(events_per_sweep):
+            s, t, nf, nc = event_sweep(s, t, mesh, geom, scatter_tab,
+                                       absorb_tab, master_key, inv_ntotal)
+            counts = counts.add(nf, nc)
+        return (s, t, counts, it + 1)
+
+    carry = (state, tally, EventCounts.zeros(), jnp.zeros((), jnp.int32))
+    state, tally, counts, nsweeps = lax.while_loop(cond, body, carry)
+    return state, tally, counts, nprocessed, nsweeps * events_per_sweep

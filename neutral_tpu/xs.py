@@ -1,0 +1,132 @@
+"""Cross-section tables: generation, loading, and vectorized lookup.
+
+The reference ships two 29,999-row `(energy_eV, cross_section_barns)` tables
+(capture.cs / elastic_scatter.cs, byte-identical dummy resonance data) plus
+the generator script that produced them (/root/reference/resonance.py:24-43):
+
+    energy[r] = 1e8 * (r/29999)^4 + 1e-2          for r in 1..29999
+    value[r]  = 1e3 * ((30000-r)/29999) + 1       (descending)
+
+We *regenerate* the tables from that formula rather than copying the data
+files, and also accept user-provided `.cs` files in the reference's text
+format.  Lookups replace the reference's per-particle binary search
+(omp3/neutral.c:498-517) with a vectorized `searchsorted` gather + linear
+interpolation; for the generated tables the energy grid is an invertible
+quartic, enabling an O(1) analytic index (no search at all) — the TPU fast
+path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_N_DEFAULT = 30000
+
+
+def make_resonance_table(n: int = _N_DEFAULT) -> tuple[np.ndarray, np.ndarray]:
+    """Regenerate the dummy resonance table (float64 host arrays)."""
+    r = np.arange(1, n, dtype=np.float64)
+    u = r / (n - 1)
+    energy = 1.0e8 * u**4 + 1.0e-2
+    value = 1.0e3 * ((n - r) / (n - 1)) + 1.0
+    return energy, value
+
+
+def write_cs_file(path: str, keys: np.ndarray, values: np.ndarray) -> None:
+    """Write a table in the reference's `.cs` text format."""
+    with open(path, "w") as f:
+        for k, v in zip(keys, values):
+            f.write(f"{k:.12e} {v:.12e}\n")
+
+
+def read_cs_file(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Read a `.cs` text table (rows of `energy value`)."""
+    data = np.loadtxt(path, dtype=np.float64)
+    if data.ndim == 1:
+        data = data[None, :]
+    return np.ascontiguousarray(data[:, 0]), np.ascontiguousarray(data[:, 1])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class CrossSection:
+    """Device-resident table with optional analytic-index fast path.
+
+    `quartic` marks tables whose energy grid follows the generated
+    resonance form, letting lookup() compute the bracketing index in O(1)
+    instead of a log2(n)-step search.
+    """
+    keys: jnp.ndarray
+    values: jnp.ndarray
+    quartic: bool = False
+
+    @property
+    def nentries(self) -> int:
+        return self.keys.shape[0]
+
+    def tree_flatten(self):
+        return ((self.keys, self.values), (self.quartic,))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        keys, values = children
+        return cls(keys, values, quartic=aux[0])
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def resonance(cls, n: int = _N_DEFAULT, dtype=jnp.float64) -> "CrossSection":
+        keys, values = make_resonance_table(n)
+        return cls(jnp.asarray(keys, dtype=dtype),
+                   jnp.asarray(values, dtype=dtype), quartic=True)
+
+    @classmethod
+    def from_file(cls, path: str, dtype=jnp.float64) -> "CrossSection":
+        keys, values = read_cs_file(path)
+        # Detect the generated quartic grid so file-loaded copies of the
+        # dummy table still get the O(1) index path.
+        quartic = _is_quartic_grid(keys)
+        return cls(jnp.asarray(keys, dtype=dtype),
+                   jnp.asarray(values, dtype=dtype), quartic=quartic)
+
+    # ------------------------------------------------------------------
+    def lookup_index(self, energy: jnp.ndarray) -> jnp.ndarray:
+        """Bracketing index i with keys[i] <= energy < keys[i+1] (clipped)."""
+        n = self.nentries
+        if self.quartic:
+            # keys[i] = 1e8 * ((i+1)/N)^4 + 1e-2  with N = number of grid
+            # points in the full generated table (rows are r=1..N-1).
+            N = jnp.asarray(float(n), dtype=energy.dtype)
+            u = ((energy - 1.0e-2) * 1.0e-8) ** 0.25
+            idx = jnp.floor(u * N).astype(jnp.int32) - 1
+            idx = jnp.clip(idx, 0, n - 2)
+            # Float rounding can land one bin off; nudge once each way.
+            k_lo = self.keys[idx]
+            idx = jnp.where(energy < k_lo, idx - 1, idx)
+            k_hi = self.keys[jnp.clip(idx + 1, 0, n - 1)]
+            idx = jnp.where(energy >= k_hi, idx + 1, idx)
+            return jnp.clip(idx, 0, n - 2)
+        idx = jnp.searchsorted(self.keys, energy, side="right") - 1
+        return jnp.clip(idx, 0, n - 2)
+
+    def lookup(self, energy: jnp.ndarray) -> jnp.ndarray:
+        """Linearly interpolated microscopic cross-section at `energy`.
+
+        Same interpolation as the reference (omp3/neutral.c:513-516).
+        """
+        idx = self.lookup_index(energy)
+        k0 = self.keys[idx]
+        k1 = self.keys[idx + 1]
+        v0 = self.values[idx]
+        v1 = self.values[idx + 1]
+        return v0 + ((energy - k0) / (k1 - k0)) * (v1 - v0)
+
+
+def _is_quartic_grid(keys: np.ndarray, rtol: float = 1e-9) -> bool:
+    n = keys.shape[0]
+    r = np.arange(1, n + 1, dtype=np.float64)
+    expect = 1.0e8 * (r / n) ** 4 + 1.0e-2
+    return bool(np.allclose(keys, expect, rtol=rtol, atol=1e-12))
