@@ -144,8 +144,11 @@ def uniform2_f64(pkey, master_key, counter):
     v0h, v0l, v1h, v1l = raw_draw(pkey, master_key, counter)
 
     def conv(hi, lo):
-        return (hi.astype(jnp.float64) * _FACTOR32_HI
-                + lo.astype(jnp.float64) * _FACTOR64) + _HALF_FACTOR64
+        # Reassemble the u64 and convert once — identical rounding to C's
+        # (double)u64, and robust against XLA FMA contraction (the *factor
+        # product is exact, so a fused multiply-add cannot change the sum).
+        v = (hi.astype(jnp.uint64) << 32) | lo.astype(jnp.uint64)
+        return v.astype(jnp.float64) * _FACTOR64 + _HALF_FACTOR64
 
     return conv(v0h, v0l), conv(v1h, v1l)
 
