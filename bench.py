@@ -1,0 +1,95 @@
+"""Headline benchmark: event throughput on the scatter problem.
+
+Runs the reference's flagship config (problems/scatter: 10M particles,
+4000x4000 mesh, 2 census steps, collision-dominated) end-to-end on the
+available device(s) and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "events/s", "vs_baseline": N}
+
+`vs_baseline` is measured against the reference omp3 backend's events/s on
+this machine's CPU (captured in BASELINE.md; the repo itself publishes no
+numbers).  Validation against the golden tally is checked and reported in
+the JSON so a fast-but-wrong run is visible.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# Reference omp3 (GCC -O3 -fopenmp, this machine's CPU, problems/scatter):
+# see BASELINE.md "measured" section.  Updated when BASELINE.md is.
+BASELINE_EVENTS_PER_S = 24.4e6
+
+
+def main() -> int:
+    import jax
+    import numpy as np
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    os.chdir(here)
+    sys.path.insert(0, here)
+
+    from neutral_tpu.config import load_config
+    from neutral_tpu.constants import VALIDATE_TOLERANCE
+
+    cfg = load_config(os.path.join(here, "problems", "scatter.params"))
+
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        from neutral_tpu.parallel import ShardedSimulation
+        sim = ShardedSimulation(cfg)
+    else:
+        from neutral_tpu.driver import Simulation
+        sim = Simulation(cfg, quiet=True)
+
+    # Warmup compile on step 1's shapes (all steps share one executable).
+    total_events = 0
+    total_time = 0.0
+    for tt in range(1, cfg.niters + 1):
+        t0 = time.perf_counter()
+        if n_dev > 1:
+            counts, _, _ = sim.step(tt)
+            nf, nc = counts.totals()
+        else:
+            m = sim.step(tt)
+            nf, nc = m.nfacets, m.ncollisions
+        dt = time.perf_counter() - t0
+        # Exclude step 1's compile time from the rate but keep its events.
+        total_events += nf + nc
+        if tt > 1:
+            total_time += dt
+        else:
+            first_events = nf + nc
+            first_time = dt
+    if cfg.niters == 1:
+        total_time = first_time
+    else:
+        total_events -= first_events
+
+    if n_dev > 1:
+        tally_sum = sim.global_tally_sum()
+    else:
+        tally_sum = float(np.asarray(sim.tally, dtype=np.float64).sum())
+
+    expected = cfg.expected_tally
+    rel_err = (abs(tally_sum - expected) / abs(expected)
+               if expected else float("nan"))
+    events_per_s = total_events / total_time
+
+    print(json.dumps({
+        "metric": "scatter_events_per_s",
+        "value": events_per_s,
+        "unit": "events/s",
+        "vs_baseline": events_per_s / BASELINE_EVENTS_PER_S,
+        "tally_rel_err": rel_err,
+        "validated": bool(rel_err < VALIDATE_TOLERANCE),
+        "n_devices": n_dev,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,285 @@
+"""Simulation driver: orchestration loop, metrics contract, validation, CLI.
+
+TPU-native equivalent of the reference driver (main.c:20-166).  The printed
+per-step metric contract is kept intact so downstream tooling (and humans)
+can compare runs 1:1 with the reference:
+
+    Iteration  <tt>
+    Step time  <s>
+    Wallclock  <s>
+    Facets     <n>
+    Collisions <n>
+    Facet Events / s <rate>
+    Collision Events / s <rate>
+    ...
+    Final Wallclock <s>
+    Elapsed Simulation Time <s>
+
+and validation prints the reference's PASSED/FAILED lines
+(omp3/neutral.c:536-556).  Timing is wall-clock with device sync per step —
+the same semantics as the reference's barrier+profiler pair (main.c:112-116).
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import io_utils
+from .config import SimConfig, load_config
+from .constants import VALIDATE_TOLERANCE
+from .mesh import Mesh2D, build_mesh
+from .particles import ParticleState, inject_particles
+from .profiler import Profile
+from .transport import Geometry, run_timestep
+from .xs import CrossSection
+
+# Pad particle batches to a multiple of the VPU lane tile (8 sublanes x 128
+# lanes) so XLA never peels a ragged remainder.
+_LANE_PAD = 1024
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@dataclass
+class StepMetrics:
+    step: int
+    step_time: float
+    nfacets: int
+    ncollisions: int
+    nprocessed: int
+    nsweeps: int
+
+
+class Simulation:
+    """Single-program simulation over one device (or one replicated shard).
+
+    Owns the device-resident state: mesh, cross-section tables, particle SoA
+    batch and the energy-deposition tally.  `run()` reproduces the reference
+    driver loop; `step()` is exposed separately for tests/benchmarks.
+    """
+
+    def __init__(self, cfg: SimConfig, *, dtype=None,
+                 events_per_sweep: int | None = None,
+                 quiet: bool = False):
+        self.cfg = cfg
+        self.dtype = jnp.dtype(dtype or cfg.dtype)
+        self.quiet = quiet
+        self.events_per_sweep = int(events_per_sweep
+                                    or cfg.events_per_sweep or 1)
+
+        self.mesh: Mesh2D = build_mesh(cfg, dtype=self.dtype)
+        self.geom = Geometry(global_nx=cfg.nx, global_ny=cfg.ny,
+                             nx=cfg.nx, ny=cfg.ny)
+        self.cs_scatter = CrossSection.resonance(dtype=self.dtype)
+        self.cs_absorb = CrossSection.resonance(dtype=self.dtype)
+
+        # Single-shard source window covers the whole source box, so the
+        # local count equals the requested count (reference:
+        # neutral_data.c:89-95 with area fraction 1).
+        n = cfg.nparticles
+        self.state: ParticleState = inject_particles(
+            self.mesh,
+            nparticles=n,
+            source_x0=cfg.source.xpos * cfg.width,
+            source_y0=cfg.source.ypos * cfg.height,
+            source_width=cfg.source.width * cfg.width,
+            source_height=cfg.source.height * cfg.height,
+            initial_energy=cfg.initial_energy,
+            dt=cfg.dt,
+            dtype=self.dtype,
+            pad_to=_round_up(n, _LANE_PAD),
+        )
+        tally_dtype = jnp.dtype(cfg.tally_dtype)
+        self.tally = jnp.zeros(cfg.nx * cfg.ny, dtype=tally_dtype)
+        self.elapsed_sim_time = 0.0
+        self.wallclock = 0.0
+        self.profile = Profile()
+        self.step_metrics: list[StepMetrics] = []
+
+    # ------------------------------------------------------------------
+    def step(self, tt: int) -> StepMetrics:
+        """Advance one census timestep (master_key = tt, as main.c:101)."""
+        self.profile.start()
+        (self.state, self.tally, counts, nprocessed,
+         nsweeps) = run_timestep(
+            self.state, self.tally, self.mesh, self.cs_scatter,
+            self.cs_absorb, self.geom, self.cfg.dt, jnp.uint32(tt),
+            1.0 / self.cfg.nparticles,
+            events_per_sweep=self.events_per_sweep)
+        jax.block_until_ready(self.tally)
+        step_time = self.profile.stop(f"step{tt}")
+        nf, nc = counts.totals()
+        m = StepMetrics(step=tt, step_time=step_time, nfacets=nf,
+                        ncollisions=nc, nprocessed=int(nprocessed),
+                        nsweeps=int(nsweeps))
+        self.step_metrics.append(m)
+        return m
+
+    # ------------------------------------------------------------------
+    def run(self) -> float:
+        """Full timestep loop.  Returns the global tally sum."""
+        cfg = self.cfg
+        out = self._print
+        for tt in range(1, cfg.niters + 1):
+            out(f"\nIteration  {tt}")
+            if cfg.visit_dump:
+                self._dump_particle_density(tt)
+
+            m = self.step(tt)
+            self.wallclock += m.step_time
+
+            out(f"Handled {m.nprocessed} particles, "
+                f"with {m.nsweeps} event sweeps")
+            out(f"Step time  {m.step_time:.4f}s")
+            out(f"Wallclock  {self.wallclock:.4f}s")
+            out(f"Facets     {m.nfacets}")
+            out(f"Collisions {m.ncollisions}")
+            out(f"Facet Events / s {m.nfacets / m.step_time:.2e}")
+            out(f"Collision Events / s {m.ncollisions / m.step_time:.2e}")
+
+            self.elapsed_sim_time += cfg.dt
+            if cfg.visit_dump:
+                tally2d = np.asarray(self.tally).reshape(cfg.ny, cfg.nx)
+                io_utils.write_bov(f"energy{tt}", tally2d,
+                                   variable="energy",
+                                   time=self.elapsed_sim_time)
+            if self.elapsed_sim_time >= cfg.sim_end:
+                out("Reached end of simulation time")
+                break
+
+        if cfg.visit_dump:
+            self._dump_particle_density(cfg.niters + 1)
+
+        result = self.validate()
+
+        out(f"Final Wallclock {self.wallclock:.9f}s")
+        out(f"Elapsed Simulation Time {self.elapsed_sim_time:.6f}s")
+        return result
+
+    # ------------------------------------------------------------------
+    def validate(self) -> float:
+        """Global tally sum + golden comparison (omp3/neutral.c:520-557)."""
+        # Promote to f64 on host before the final reduction: the 16M-cell sum
+        # itself must not eat the validation tolerance.
+        local = np.asarray(self.tally, dtype=np.float64).sum()
+        out = self._print
+        out(f"Final global_energy_tally {local:.15e}")
+        expected = self.cfg.expected_tally
+        if expected is None:
+            out("WARNING: could not find a golden result to validate against")
+            return local
+        if within_tolerance(expected, local, VALIDATE_TOLERANCE):
+            out("PASSED validation.")
+        else:
+            out(f"FAILED validation: expected {expected:.12e}, "
+                f"got {local:.12e}")
+        return local
+
+    # ------------------------------------------------------------------
+    def checkpoint(self, path: str, step: int) -> None:
+        io_utils.save_checkpoint(path, self.state, np.asarray(self.tally),
+                                 step, self.elapsed_sim_time)
+
+    def restore(self, path: str) -> int:
+        state, tally, step, t = io_utils.load_checkpoint(path)
+        dt = self.dtype
+        self.state = ParticleState(
+            x=jnp.asarray(state.x, dt), y=jnp.asarray(state.y, dt),
+            omega_x=jnp.asarray(state.omega_x, dt),
+            omega_y=jnp.asarray(state.omega_y, dt),
+            energy=jnp.asarray(state.energy, dt),
+            weight=jnp.asarray(state.weight, dt),
+            dt_to_census=jnp.asarray(state.dt_to_census, dt),
+            mfp_to_collision=jnp.asarray(state.mfp_to_collision, dt),
+            deposit=jnp.asarray(state.deposit, dt),
+            cellx=jnp.asarray(state.cellx), celly=jnp.asarray(state.celly),
+            dead=jnp.asarray(state.dead), pid=jnp.asarray(state.pid),
+            counter=jnp.asarray(state.counter))
+        self.tally = jnp.asarray(tally, self.tally.dtype)
+        self.elapsed_sim_time = t
+        return step
+
+    # ------------------------------------------------------------------
+    def _dump_particle_density(self, tt: int) -> None:
+        dens = io_utils.particle_density(self.state, self.cfg.nx, self.cfg.ny)
+        io_utils.write_bov(f"density{tt}", dens, variable="density",
+                           time=self.elapsed_sim_time)
+
+    def _print(self, msg: str) -> None:
+        if not self.quiet:
+            print(msg, flush=True)
+
+
+def within_tolerance(expected: float, actual: float, tol: float) -> bool:
+    """Relative-tolerance check, as arch's within_tolerance."""
+    if expected == 0.0:
+        return abs(actual) <= tol
+    return abs(actual - expected) / abs(expected) <= tol
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="neutral_tpu",
+        description="TPU-native Monte Carlo neutral-particle transport")
+    p.add_argument("params", help="problem deck (.params file)")
+    p.add_argument("--dtype", default=None,
+                   choices=["float32", "float64"],
+                   help="compute dtype (default: deck/config value)")
+    p.add_argument("--events-per-sweep", type=int, default=None,
+                   help="inner unrolled events per device round-trip")
+    p.add_argument("--nparticles", type=int, default=None,
+                   help="override the deck's particle count")
+    p.add_argument("--iterations", type=int, default=None,
+                   help="override the deck's timestep count")
+    p.add_argument("--mesh-scale", type=int, default=None,
+                   help="divide nx/ny by this factor (quick runs)")
+    p.add_argument("--checkpoint", default=None,
+                   help="write a checkpoint npz after the final step")
+    p.add_argument("--restore", default=None,
+                   help="resume from a checkpoint npz")
+    p.add_argument("--trace-dir", default=None,
+                   help="jax.profiler trace output directory")
+    args = p.parse_args(argv)
+
+    cfg = load_config(args.params)
+    if args.nparticles:
+        cfg = cfg.with_(nparticles=args.nparticles, expected_tally=None)
+    if args.iterations:
+        cfg = cfg.with_(niters=args.iterations, expected_tally=None)
+    if args.mesh_scale:
+        cfg = cfg.with_(nx=cfg.nx // args.mesh_scale,
+                        ny=cfg.ny // args.mesh_scale, expected_tally=None)
+    if args.dtype:
+        cfg = cfg.with_(dtype=args.dtype, tally_dtype=args.dtype)
+
+    if jnp.dtype(cfg.dtype) == jnp.float64:
+        jax.config.update("jax_enable_x64", True)
+
+    sim = Simulation(cfg, events_per_sweep=args.events_per_sweep)
+    if args.restore:
+        start = sim.restore(args.restore)
+        print(f"Restored checkpoint at step {start}")
+
+    from .profiler import maybe_trace
+    with maybe_trace(args.trace_dir):
+        sim.run()
+    if args.checkpoint:
+        sim.checkpoint(args.checkpoint, len(sim.step_metrics))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

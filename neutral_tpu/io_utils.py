@@ -1,0 +1,92 @@
+"""Output + checkpoint IO.
+
+* BOV (Brick-of-Values) dumps readable by VisIt/ParaView — the TPU-native
+  replacement for the arch harness's `write_all_ranks_to_visit` (reference
+  call sites: main.c:129-139,194-198; the reference emits .bov/.dat pairs,
+  see its .gitignore).  In sharded runs the caller gathers the global grid
+  first (one all_gather of a small 2D field), so a single rank writes.
+
+* Particle-density histogram — reference: plot_particle_density
+  (main.c:169-200), a per-cell count of particle positions.
+
+* Checkpoint/resume — a capability the reference lacks entirely (SURVEY §5):
+  census semantics mean the full simulation state is just the particle SoA
+  pytree + tally + timestep index, so a single compressed .npz per step
+  round-trips a run exactly (bitwise: counter-based RNG streams are keyed by
+  (pid, timestep), so resuming at step k replays identically).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .particles import ParticleState
+
+
+# ---------------------------------------------------------------------------
+# BOV dumps
+# ---------------------------------------------------------------------------
+
+def write_bov(basename: str, data: np.ndarray, *, variable: str,
+              time: float = 0.0) -> None:
+    """Write `<basename>.bov` + `<basename>.dat` for a (ny, nx) field."""
+    arr = np.asarray(data)
+    if arr.ndim != 2:
+        raise ValueError(f"BOV writer expects a 2D field, got {arr.shape}")
+    arr = np.ascontiguousarray(arr, dtype=np.float64)
+    ny, nx = arr.shape
+    datfile = basename + ".dat"
+    arr.tofile(datfile)
+    with open(basename + ".bov", "w") as f:
+        f.write(f"TIME: {time}\n")
+        f.write(f"DATA_FILE: {os.path.basename(datfile)}\n")
+        f.write(f"DATA_SIZE: {nx} {ny} 1\n")
+        f.write("DATA_FORMAT: DOUBLE\n")
+        f.write(f"VARIABLE: {variable}\n")
+        f.write("DATA_ENDIAN: LITTLE\n")
+        f.write("CENTERING: zone\n")
+        f.write("BRICK_ORIGIN: 0. 0. 0.\n")
+        f.write(f"BRICK_SIZE: {nx}. {ny}. 1.\n")
+
+
+def particle_density(state: ParticleState, nx: int, ny: int) -> np.ndarray:
+    """Per-cell count of live particles (host-side numpy histogram)."""
+    cellx = np.asarray(state.cellx)
+    celly = np.asarray(state.celly)
+    dead = np.asarray(state.dead)
+    live = ~dead
+    flat = celly[live].astype(np.int64) * nx + cellx[live].astype(np.int64)
+    counts = np.bincount(np.clip(flat, 0, nx * ny - 1), minlength=nx * ny)
+    return counts.reshape(ny, nx).astype(np.float64)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint / resume
+# ---------------------------------------------------------------------------
+
+_STATE_FIELDS = ("x", "y", "omega_x", "omega_y", "energy", "weight",
+                 "dt_to_census", "mfp_to_collision", "deposit",
+                 "cellx", "celly", "dead", "pid", "counter")
+
+
+def save_checkpoint(path: str, state: ParticleState, tally: np.ndarray,
+                    step: int, elapsed_sim_time: float) -> None:
+    """Write the full simulation state as one compressed npz."""
+    payload = {f: np.asarray(getattr(state, f)) for f in _STATE_FIELDS}
+    payload["tally"] = np.asarray(tally)
+    payload["step"] = np.int64(step)
+    payload["elapsed_sim_time"] = np.float64(elapsed_sim_time)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, **payload)
+    os.replace(tmp, path)      # atomic publish: no torn checkpoints
+
+
+def load_checkpoint(path: str):
+    """Returns (state, tally, step, elapsed_sim_time) as host arrays."""
+    with np.load(path) as z:
+        state = ParticleState(**{f: z[f] for f in _STATE_FIELDS})
+        return (state, z["tally"], int(z["step"]),
+                float(z["elapsed_sim_time"]))

@@ -1,0 +1,165 @@
+"""Particle-parallel transport over a JAX device mesh.
+
+The reference scales over MPI ranks with a spatially-decomposed mesh but (on
+`master`) tracks every particle against the *global* mesh and never migrates
+particles — its distribution reduces to: shard particles, replicate the mesh,
+sum tallies at the end (reference: main.c:62-75, stubbed send_and_mark_particle
+at cuda/neutral.cu:133, global reduce at omp3/neutral.c:530).
+
+The TPU-native formulation makes that explicit and collective-minimal:
+
+  * particle SoA arrays are sharded over the mesh axis "p" (pure data
+    parallelism over ICI-connected chips),
+  * mesh edges / density / cross-section tables are replicated (they are
+    read-only and small relative to particle state),
+  * each shard owns a private partial tally row — shape (nshards, ncells)
+    sharded on axis 0 — so the hot loop runs with ZERO collectives; the
+    single `psum`-equivalent reduction happens once, at validation/output
+    time, exactly like the reference's final MPI_Allreduce.
+
+Each shard's `lax.while_loop` also terminates independently: a shard whose
+particles all hit census early stops sweeping without waiting for stragglers
+on other chips — free load-balancing slack the lockstep reference never had.
+
+Built on `shard_map` so the per-shard program is the *same* single-chip
+`run_timestep` used everywhere else (one code path to test).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..config import SimConfig
+from ..mesh import Mesh2D, build_mesh
+from ..particles import ParticleState, inject_particles
+from ..transport import Geometry, run_timestep
+from ..xs import CrossSection
+
+
+def make_device_mesh(n_devices: int | None = None,
+                     axis_name: str = "p") -> Mesh:
+    """1D device mesh over all (or the first n) visible devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis_name,))
+
+
+def _state_spec(axis: str) -> ParticleState:
+    """PartitionSpec pytree: every particle array sharded along the axis."""
+    nfields = len(ParticleState.__dataclass_fields__)
+    return ParticleState(*([P(axis)] * nfields))
+
+
+@partial(jax.jit,
+         static_argnames=("geom", "mesh_axes", "events_per_sweep",
+                          "max_sweeps"))
+def run_timestep_sharded(state: ParticleState, tally_parts: jnp.ndarray,
+                         mesh2d: Mesh2D, scatter_tab: CrossSection,
+                         absorb_tab: CrossSection, geom: Geometry,
+                         dt: float, master_key, inv_ntotal: float,
+                         mesh_axes: Mesh, events_per_sweep: int = 1,
+                         max_sweeps: int = 1_000_000):
+    """One census timestep over the device mesh.
+
+    `tally_parts` has shape (nshards, ncells), sharded on axis 0; row i is
+    shard i's private partial tally.  Returns (state', tally_parts', counts,
+    nprocessed, nsweeps) with counts/nprocessed/nsweeps globally reduced.
+    """
+    axis = mesh_axes.axis_names[0]
+    pspec = _state_spec(axis)
+
+    def shard_fn(s: ParticleState, t_row, m2d, stab, atab):
+        # t_row: (1, ncells) — this shard's private partial tally.
+        s, t, counts, nproc, nsweeps = run_timestep(
+            s, t_row[0], m2d, stab, atab, geom, dt, master_key,
+            inv_ntotal, max_sweeps=max_sweeps,
+            events_per_sweep=events_per_sweep)
+        nproc = jax.lax.psum(nproc.astype(jnp.uint32), axis)
+        nsweeps = jax.lax.pmax(nsweeps, axis)
+        counts = jax.tree_util.tree_map(
+            lambda c: jax.lax.psum(c.astype(jnp.uint32), axis), counts)
+        return s, t[None, :], counts, nproc, nsweeps
+
+    fn = shard_map(
+        shard_fn, mesh=mesh_axes,
+        in_specs=(pspec, P(axis, None), P(), P(), P()),
+        out_specs=(pspec, P(axis, None), P(), P(), P()),
+        check_vma=False)
+    return fn(state, tally_parts, mesh2d, scatter_tab, absorb_tab)
+
+
+class ShardedSimulation:
+    """Multi-chip particle-parallel simulation (replicated mesh mode).
+
+    API-compatible with driver.Simulation where it matters (step/run/
+    validate); the driver CLI auto-selects it when >1 device is visible.
+    """
+
+    def __init__(self, cfg: SimConfig, *, dtype=None,
+                 events_per_sweep: int | None = None,
+                 device_mesh: Mesh | None = None, quiet: bool = False):
+        self.cfg = cfg
+        self.dtype = jnp.dtype(dtype or cfg.dtype)
+        self.quiet = quiet
+        self.events_per_sweep = int(events_per_sweep
+                                    or cfg.events_per_sweep or 1)
+        self.device_mesh = device_mesh or make_device_mesh()
+        self.axis = self.device_mesh.axis_names[0]
+        nshards = self.device_mesh.devices.size
+
+        self.mesh2d = build_mesh(cfg, dtype=self.dtype)
+        self.geom = Geometry(global_nx=cfg.nx, global_ny=cfg.ny,
+                             nx=cfg.nx, ny=cfg.ny)
+        self.cs_scatter = CrossSection.resonance(dtype=self.dtype)
+        self.cs_absorb = CrossSection.resonance(dtype=self.dtype)
+
+        # Pad so each shard gets an equal, lane-aligned slab.  pid stays
+        # globally contiguous: shard boundaries NEVER change the RNG stream
+        # of any particle (reproducibility across topologies).
+        n = cfg.nparticles
+        per_shard = -(-n // nshards)
+        per_shard = ((per_shard + 1023) // 1024) * 1024
+        total = per_shard * nshards
+        state = inject_particles(
+            self.mesh2d, nparticles=n,
+            source_x0=cfg.source.xpos * cfg.width,
+            source_y0=cfg.source.ypos * cfg.height,
+            source_width=cfg.source.width * cfg.width,
+            source_height=cfg.source.height * cfg.height,
+            initial_energy=cfg.initial_energy, dt=cfg.dt,
+            dtype=self.dtype, pad_to=total)
+
+        shard_sharding = NamedSharding(self.device_mesh, P(self.axis))
+        self.state = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, shard_sharding), state)
+        self.tally_parts = jax.device_put(
+            jnp.zeros((nshards, cfg.nx * cfg.ny),
+                      dtype=jnp.dtype(cfg.tally_dtype)),
+            NamedSharding(self.device_mesh, P(self.axis, None)))
+        self.elapsed_sim_time = 0.0
+        self.wallclock = 0.0
+
+    def step(self, tt: int):
+        (self.state, self.tally_parts, counts, nprocessed,
+         nsweeps) = run_timestep_sharded(
+            self.state, self.tally_parts, self.mesh2d, self.cs_scatter,
+            self.cs_absorb, self.geom, self.cfg.dt, jnp.uint32(tt),
+            1.0 / self.cfg.nparticles, self.device_mesh,
+            events_per_sweep=self.events_per_sweep)
+        jax.block_until_ready(self.tally_parts)
+        return counts, nprocessed, nsweeps
+
+    @property
+    def tally(self) -> jnp.ndarray:
+        """Global tally (summed over shard partials)."""
+        return self.tally_parts.sum(axis=0)
+
+    def global_tally_sum(self) -> float:
+        return float(np.asarray(self.tally_parts, dtype=np.float64).sum())
