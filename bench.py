@@ -19,9 +19,9 @@ import os
 import sys
 import time
 
-# Reference omp3 (GCC -O3 -fopenmp, this machine's CPU, problems/scatter):
-# see BASELINE.md "measured" section.  Updated when BASELINE.md is.
-BASELINE_EVENTS_PER_S = 24.4e6
+# Reference omp3 (GCC -O3 -march=native, this machine's 1-core CPU,
+# problems/scatter): 6.987e9 collision events in 1350.2 s — see BASELINE.md.
+BASELINE_EVENTS_PER_S = 5.17e6
 
 
 def main() -> int:

@@ -10,6 +10,11 @@
 #include <stdlib.h>
 #include <stdint.h>
 
+#include "profiler.h"
+
+/* Global kernel-side profile object (referenced by backend kernels). */
+extern struct Profile compute_profile;
+
 #define GB (1024.0 * 1024.0 * 1024.0)
 #define TERMINATE(...)                                                         \
   do {                                                                         \
@@ -38,3 +43,9 @@ void initialise_devices(int rank);
 int within_tolerance(double expected, double actual, double tolerance);
 
 #endif
+
+void write_all_ranks_to_visit(int global_nx, int global_ny, int local_nx,
+                              int local_ny, int pad, int x_off, int y_off,
+                              int rank, int nranks, int* neighbours,
+                              double* data, const char* name, int step,
+                              double time);

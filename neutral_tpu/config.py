@@ -55,9 +55,13 @@ class SimConfig:
     # Numerics
     dtype: str = "float32"          # particle/compute dtype
     tally_dtype: str = "float32"    # energy-deposition tally dtype
+    fast_math: bool = True          # analytic xs/density/edge evaluation
+                                    # (closed forms replace table gathers;
+                                    # identical physics to float rounding)
 
     # Event-sweep tuning
     events_per_sweep: int = 1       # inner unrolled events per HBM round-trip
+    chunk_sweeps: int = 256         # max sweeps per device dispatch
     compact_every: int = 0          # 0 = never compact live particles
 
     # IO / misc

@@ -37,7 +37,7 @@ from .constants import VALIDATE_TOLERANCE
 from .mesh import Mesh2D, build_mesh
 from .particles import ParticleState, inject_particles
 from .profiler import Profile
-from .transport import Geometry, run_timestep
+from .transport import Geometry
 from .xs import CrossSection
 
 # Pad particle batches to a multiple of the VPU lane tile (8 sublanes x 128
@@ -47,6 +47,22 @@ _LANE_PAD = 1024
 
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def make_geometry(cfg: SimConfig) -> Geometry:
+    """Geometry for a whole-domain (replicated-mesh) view of the problem.
+
+    With cfg.fast_math the static fields carry the uniform cell pitch and
+    the problem-region cell rectangles so the jitted transport uses the
+    gather-free analytic paths (see transport.Geometry docs).
+    """
+    from .mesh import region_cell_bounds
+    if cfg.fast_math:
+        return Geometry(global_nx=cfg.nx, global_ny=cfg.ny,
+                        nx=cfg.nx, ny=cfg.ny,
+                        dx=cfg.width / cfg.nx, dy=cfg.height / cfg.ny,
+                        regions=region_cell_bounds(cfg))
+    return Geometry(global_nx=cfg.nx, global_ny=cfg.ny, nx=cfg.nx, ny=cfg.ny)
 
 
 @dataclass
@@ -75,12 +91,18 @@ class Simulation:
         self.quiet = quiet
         self.events_per_sweep = int(events_per_sweep
                                     or cfg.events_per_sweep or 1)
+        self.chunk_sweeps = int(getattr(cfg, "chunk_sweeps", 0) or 256)
+        # compact_every==0 historically meant "never"; the chunked driver
+        # compacts adaptively, so treat 0 as "on" and -1 as "off".
+        self.compact_enabled = cfg.compact_every >= 0
+        self.compact_min = 8192         # smallest working-set capacity
 
         self.mesh: Mesh2D = build_mesh(cfg, dtype=self.dtype)
-        self.geom = Geometry(global_nx=cfg.nx, global_ny=cfg.ny,
-                             nx=cfg.nx, ny=cfg.ny)
-        self.cs_scatter = CrossSection.resonance(dtype=self.dtype)
-        self.cs_absorb = CrossSection.resonance(dtype=self.dtype)
+        self.geom = make_geometry(cfg)
+        self.cs_scatter = CrossSection.resonance(dtype=self.dtype,
+                                                 analytic=cfg.fast_math)
+        self.cs_absorb = CrossSection.resonance(dtype=self.dtype,
+                                                analytic=cfg.fast_math)
 
         # Single-shard source window covers the whole source box, so the
         # local count equals the requested count (reference:
@@ -107,14 +129,55 @@ class Simulation:
 
     # ------------------------------------------------------------------
     def step(self, tt: int) -> StepMetrics:
-        """Advance one census timestep (master_key = tt, as main.c:101)."""
+        """Advance one census timestep (master_key = tt, as main.c:101).
+
+        The census is host-chained in bounded sweep chunks: each device
+        dispatch runs at most `chunk_sweeps` event sweeps, so no single XLA
+        execution is unboundedly long (robust over remote TPU links) and
+        long censuses show progress.
+        """
+        from .particles import live_count, merge_compacted, select_working
+        from .transport import EventCounts, begin_timestep, sweep_chunk
+
         self.profile.start()
-        (self.state, self.tally, counts, nprocessed,
-         nsweeps) = run_timestep(
-            self.state, self.tally, self.mesh, self.cs_scatter,
-            self.cs_absorb, self.geom, self.cfg.dt, jnp.uint32(tt),
-            1.0 / self.cfg.nparticles,
-            events_per_sweep=self.events_per_sweep)
+        master_key = jnp.uint32(tt)
+        full = begin_timestep(self.state, self.mesh, self.geom,
+                              self.cs_scatter, self.cfg.dt, master_key)
+        nprocessed = jnp.count_nonzero(~full.dead)
+        counts = EventCounts.zeros()
+        nsweeps = 0
+
+        # Live-lane compaction: when most lanes have finished their census
+        # (long-tail problems like csp), shrink the working set to the next
+        # power of two so sweeps stop paying bandwidth for finished lanes.
+        # pid-keyed RNG makes this physically invisible (see
+        # particles.select_working).
+        part, sel = full, None
+        min_cap = self.compact_min
+        while True:
+            part, self.tally, counts, done, any_live = sweep_chunk(
+                part, self.tally, counts, self.mesh, self.cs_scatter,
+                self.cs_absorb, self.geom, master_key,
+                1.0 / self.cfg.nparticles, self.chunk_sweeps,
+                events_per_sweep=self.events_per_sweep)
+            nsweeps += int(done)
+            if not bool(any_live):
+                break
+            cap = part.n
+            if self.compact_enabled and cap > min_cap:
+                live = int(live_count(part))
+                target = max(min_cap, 1 << (max(live, 1) - 1).bit_length())
+                if target <= cap // 2:
+                    if sel is not None:
+                        full = merge_compacted(full, part, sel)
+                    else:
+                        full = part
+                    part, sel = select_working(full, target)
+        if sel is not None:
+            full = merge_compacted(full, part, sel)
+        else:
+            full = part
+        self.state = full
         jax.block_until_ready(self.tally)
         step_time = self.profile.stop(f"step{tt}")
         nf, nc = counts.totals()

@@ -65,6 +65,34 @@ def build_density(cfg: SimConfig, dtype=np.float64) -> np.ndarray:
     return density.astype(dtype)
 
 
+def region_cell_bounds(cfg: SimConfig) -> tuple:
+    """Problem regions as global cell-index rectangles.
+
+    Uses the exact same float64 cell-center membership math as
+    build_density, so the analytic density path (transport._density_of)
+    selects precisely the same cells as the gathered grid would.
+    Returns ((ix0, ix1, iy0, iy1, density), ...) — hashable, for the
+    static Geometry.regions field.
+    """
+    cx = (np.arange(cfg.nx) + 0.5) * (cfg.width / cfg.nx)
+    cy = (np.arange(cfg.ny) + 0.5) * (cfg.height / cfg.ny)
+    out = []
+    for region in cfg.problems:
+        x0 = region.xpos * cfg.width
+        y0 = region.ypos * cfg.height
+        x1 = x0 + region.width * cfg.width
+        y1 = y0 + region.height * cfg.height
+        mx = (cx >= x0) & (cx < x1)
+        my = (cy >= y0) & (cy < y1)
+        ix = np.flatnonzero(mx)
+        iy = np.flatnonzero(my)
+        if ix.size == 0 or iy.size == 0:
+            continue
+        out.append((int(ix[0]), int(ix[-1]) + 1, int(iy[0]),
+                    int(iy[-1]) + 1, float(region.density)))
+    return tuple(out)
+
+
 def build_mesh(cfg: SimConfig, dtype=None) -> Mesh2D:
     """Uniform mesh + density field as device arrays."""
     dtype = jnp.dtype(dtype or cfg.dtype)

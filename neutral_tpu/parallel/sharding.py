@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from .. import transport
 from ..config import SimConfig
 from ..mesh import Mesh2D, build_mesh
 from ..particles import ParticleState, inject_particles
@@ -66,11 +67,13 @@ def run_timestep_sharded(state: ParticleState, tally_parts: jnp.ndarray,
                          dt: float, master_key, inv_ntotal: float,
                          mesh_axes: Mesh, events_per_sweep: int = 1,
                          max_sweeps: int = 1_000_000):
-    """One census timestep over the device mesh.
+    """One full census timestep over the device mesh (single dispatch).
 
     `tally_parts` has shape (nshards, ncells), sharded on axis 0; row i is
     shard i's private partial tally.  Returns (state', tally_parts', counts,
     nprocessed, nsweeps) with counts/nprocessed/nsweeps globally reduced.
+    Production paths chunk instead (sweep_chunk_sharded via
+    ShardedSimulation.step) to bound dispatch length.
     """
     axis = mesh_axes.axis_names[0]
     pspec = _state_spec(axis)
@@ -95,6 +98,87 @@ def run_timestep_sharded(state: ParticleState, tally_parts: jnp.ndarray,
     return fn(state, tally_parts, mesh2d, scatter_tab, absorb_tab)
 
 
+@partial(jax.jit, static_argnames=("geom", "mesh_axes"))
+def begin_timestep_sharded(state: ParticleState, mesh2d: Mesh2D,
+                           scatter_tab: CrossSection, geom: Geometry,
+                           dt: float, master_key, mesh_axes: Mesh):
+    """Per-timestep reinit of every shard + global live-particle count."""
+    axis = mesh_axes.axis_names[0]
+    pspec = _state_spec(axis)
+
+    def shard_fn(s, m2d, stab):
+        s = transport.begin_timestep(s, m2d, geom, stab, dt, master_key)
+        nproc = jax.lax.psum(
+            jnp.count_nonzero(~s.dead).astype(jnp.uint32), axis)
+        return s, nproc
+
+    fn = shard_map(shard_fn, mesh=mesh_axes,
+                   in_specs=(pspec, P(), P()),
+                   out_specs=(pspec, P()), check_vma=False)
+    return fn(state, mesh2d, scatter_tab)
+
+
+@partial(jax.jit,
+         static_argnames=("geom", "mesh_axes", "max_sweeps",
+                          "events_per_sweep"))
+def sweep_chunk_sharded(state: ParticleState, tally_parts: jnp.ndarray,
+                        mesh2d: Mesh2D, scatter_tab: CrossSection,
+                        absorb_tab: CrossSection, geom: Geometry,
+                        master_key, inv_ntotal: float, mesh_axes: Mesh,
+                        max_sweeps: int, events_per_sweep: int = 1):
+    """Bounded sweep chunk over the device mesh (one dispatch).
+
+    Each shard sweeps until its own particles finish or the bound is hit —
+    no lockstep between shards inside a chunk.  Returns
+    (state, tally_parts, counts_delta, nsweeps_max, any_live_global) with
+    counts_delta globally psum'd; the caller accumulates across chunks.
+    """
+    from ..transport import EventCounts
+
+    axis = mesh_axes.axis_names[0]
+    pspec = _state_spec(axis)
+
+    def shard_fn(s, t_row, m2d, stab, atab):
+        s, t, c, nsweeps, live = transport.sweep_chunk(
+            s, t_row[0], EventCounts.zeros(), m2d, stab, atab, geom,
+            master_key, inv_ntotal, max_sweeps,
+            events_per_sweep=events_per_sweep)
+        live = jax.lax.pmax(live.astype(jnp.int32), axis)
+        nsweeps = jax.lax.pmax(nsweeps, axis)
+        # Per-shard u64 counters as u32 (hi, lo) rows; the host recombines
+        # with exact integer arithmetic (a u32 psum would drop carries).
+        c_row = jnp.stack([c.nfacets_hi, c.nfacets_lo,
+                           c.ncollisions_hi, c.ncollisions_lo])[None, :]
+        return s, t[None, :], c_row, nsweeps, live
+
+    fn = shard_map(
+        shard_fn, mesh=mesh_axes,
+        in_specs=(pspec, P(axis, None), P(), P(), P()),
+        out_specs=(pspec, P(axis, None), P(axis, None), P(), P()),
+        check_vma=False)
+    return fn(state, tally_parts, mesh2d, scatter_tab, absorb_tab)
+
+
+def combine_count_rows(c_rows) -> tuple[int, int]:
+    """(nshards, 4) u32 [hi_f, lo_f, hi_c, lo_c] rows -> (nfacets, ncoll)."""
+    import numpy as np
+    a = np.asarray(c_rows, dtype=np.uint64)
+    nf = int((a[:, 0] << np.uint64(32) | a[:, 1]).sum())
+    nc = int((a[:, 2] << np.uint64(32) | a[:, 3]).sum())
+    return nf, nc
+
+
+class _HostCounts:
+    """Host-side event counters with the EventCounts.totals() interface."""
+
+    def __init__(self, nfacets: int, ncollisions: int):
+        self.nfacets = nfacets
+        self.ncollisions = ncollisions
+
+    def totals(self) -> tuple[int, int]:
+        return self.nfacets, self.ncollisions
+
+
 class ShardedSimulation:
     """Multi-chip particle-parallel simulation (replicated mesh mode).
 
@@ -114,11 +198,13 @@ class ShardedSimulation:
         self.axis = self.device_mesh.axis_names[0]
         nshards = self.device_mesh.devices.size
 
+        from ..driver import make_geometry
         self.mesh2d = build_mesh(cfg, dtype=self.dtype)
-        self.geom = Geometry(global_nx=cfg.nx, global_ny=cfg.ny,
-                             nx=cfg.nx, ny=cfg.ny)
-        self.cs_scatter = CrossSection.resonance(dtype=self.dtype)
-        self.cs_absorb = CrossSection.resonance(dtype=self.dtype)
+        self.geom = make_geometry(cfg)
+        self.cs_scatter = CrossSection.resonance(dtype=self.dtype,
+                                                 analytic=cfg.fast_math)
+        self.cs_absorb = CrossSection.resonance(dtype=self.dtype,
+                                                analytic=cfg.fast_math)
 
         # Pad so each shard gets an equal, lane-aligned slab.  pid stays
         # globally contiguous: shard boundaries NEVER change the RNG stream
@@ -147,14 +233,33 @@ class ShardedSimulation:
         self.wallclock = 0.0
 
     def step(self, tt: int):
-        (self.state, self.tally_parts, counts, nprocessed,
-         nsweeps) = run_timestep_sharded(
-            self.state, self.tally_parts, self.mesh2d, self.cs_scatter,
-            self.cs_absorb, self.geom, self.cfg.dt, jnp.uint32(tt),
-            1.0 / self.cfg.nparticles, self.device_mesh,
-            events_per_sweep=self.events_per_sweep)
+        """Chunk-dispatched census step; returns (counts, nproc, nsweeps).
+
+        `counts` is returned as a transport.EventCounts-compatible object
+        with .totals() for driver compatibility.
+        """
+        master_key = jnp.uint32(tt)
+        self.state, nprocessed = begin_timestep_sharded(
+            self.state, self.mesh2d, self.cs_scatter, self.geom,
+            self.cfg.dt, master_key, self.device_mesh)
+        nf = nc = 0
+        nsweeps = 0
+        chunk = getattr(self.cfg, "chunk_sweeps", 256) or 256
+        while True:
+            (self.state, self.tally_parts, c_rows, done,
+             any_live) = sweep_chunk_sharded(
+                self.state, self.tally_parts, self.mesh2d, self.cs_scatter,
+                self.cs_absorb, self.geom, master_key,
+                1.0 / self.cfg.nparticles, self.device_mesh, chunk,
+                events_per_sweep=self.events_per_sweep)
+            dnf, dnc = combine_count_rows(c_rows)
+            nf += dnf
+            nc += dnc
+            nsweeps += int(done)
+            if not bool(any_live):
+                break
         jax.block_until_ready(self.tally_parts)
-        return counts, nprocessed, nsweeps
+        return _HostCounts(nf, nc), nprocessed, nsweeps
 
     @property
     def tally(self) -> jnp.ndarray:

@@ -19,6 +19,7 @@ TPU-native SoA layout.  Extra fields relative to the reference:
 from __future__ import annotations
 
 from dataclasses import dataclass, fields
+from functools import partial
 
 import numpy as np
 import jax
@@ -60,6 +61,41 @@ class ParticleState:
     @property
     def dtype(self):
         return self.x.dtype
+
+
+@jax.jit
+def live_count(state: ParticleState) -> jnp.ndarray:
+    """Number of lanes still alive AND short of census (work remaining)."""
+    return jnp.count_nonzero((~state.dead) & (state.dt_to_census > 0))
+
+
+@partial(jax.jit, static_argnames=("new_size",))
+def select_working(state: ParticleState, new_size: int):
+    """Pack still-working lanes into a `new_size` slice; returns (part, sel).
+
+    Monte Carlo histories are keyed by the immutable `pid`, not the lane
+    index (the counter-based RNG scheme), so reordering/slicing lanes
+    changes NOTHING physically — tallies and event counts stay bitwise
+    identical.  This is the load-balancing move the reference's
+    history-based loop gets implicitly from dynamic thread scheduling:
+    without it, dead/censused lanes cost full sweep bandwidth forever.
+
+    Caller must ensure new_size >= live_count(state); culled lanes keep
+    their state in the caller's full copy and are merged back with
+    merge_compacted before the next timestep.
+    """
+    working = (~state.dead) & (state.dt_to_census > 0)
+    # Stable partition: working lanes first, original order preserved.
+    sel = jnp.argsort(~working, stable=True)[:new_size]
+    return jax.tree_util.tree_map(lambda a: a[sel], state), sel
+
+
+@jax.jit
+def merge_compacted(full: ParticleState, part: ParticleState,
+                    sel_idx) -> ParticleState:
+    """Write a compacted slice's lanes back into the full state."""
+    return jax.tree_util.tree_map(
+        lambda f, p: f.at[sel_idx].set(p), full, part)
 
 
 def inject_particles(mesh: Mesh2D, *, nparticles: int, source_x0: float,

@@ -54,6 +54,19 @@ class Geometry:
     (x_off = y_off = 0, nx/ny = global).  The spatially-sharded mode sets
     offsets so tally/density indexing is shard-local while reflection still
     happens at the *global* boundary (reference: omp3/neutral.c:333-369).
+
+    Fast-math fields (TPU has no hardware vector gather, so every avoided
+    table read is a big win — see xs.CrossSection.analytic):
+
+    * ``dx``/``dy`` — uniform cell pitches; when nonzero, facet distances
+      use ``edge = cell * pitch`` instead of edge-array gathers.
+    * ``regions`` — tuple of ``(ix0, ix1, iy0, iy1, density)`` global
+      cell-index rectangles (later entries overwrite earlier, background
+      0); when set, per-particle density is evaluated by integer range
+      tests instead of a gather from the (ny, nx) density grid.  The
+      integer bounds are precomputed on host with the exact same
+      cell-center float64 math as mesh.build_density, so both paths see
+      identical material fields.
     """
     global_nx: int
     global_ny: int
@@ -61,6 +74,9 @@ class Geometry:
     ny: int
     x_off: int = 0
     y_off: int = 0
+    dx: float = 0.0
+    dy: float = 0.0
+    regions: tuple | None = None
 
 
 @dataclass(frozen=True)
@@ -100,6 +116,38 @@ def _macroscopic(density, sig):
     return density * _INV_MOLAR * sig * BARNS
 
 
+def _density_of(state: ParticleState, mesh: Mesh2D, geom: Geometry):
+    """Per-particle material density: analytic region tests or grid gather."""
+    if geom.regions is not None:
+        dtype = state.dtype
+        density = jnp.zeros_like(state.x)
+        for (ix0, ix1, iy0, iy1, d) in geom.regions:
+            inside = ((state.cellx >= ix0) & (state.cellx < ix1) &
+                      (state.celly >= iy0) & (state.celly < iy1))
+            density = jnp.where(inside, jnp.asarray(d, dtype), density)
+        return density
+    lx = state.cellx - geom.x_off
+    ly = state.celly - geom.y_off
+    flat_cell = jnp.clip(ly * geom.nx + lx, 0, geom.nx * geom.ny - 1)
+    return mesh.density.reshape(-1)[flat_cell]
+
+
+def _facet_edges(state: ParticleState, mesh: Mesh2D, geom: Geometry):
+    """(ex_lo, ex_hi, ey_lo, ey_hi) bounding edges of each particle's cell."""
+    if geom.dx:
+        dtype = state.dtype
+        dx = jnp.asarray(geom.dx, dtype)
+        dy = jnp.asarray(geom.dy, dtype)
+        cx = state.cellx.astype(dtype)
+        cy = state.celly.astype(dtype)
+        return cx * dx, (cx + 1.0) * dx, cy * dy, (cy + 1.0) * dy
+    ex_lo = mesh.edgex[jnp.clip(state.cellx, 0, geom.global_nx - 1)]
+    ex_hi = mesh.edgex[jnp.clip(state.cellx + 1, 0, geom.global_nx)]
+    ey_lo = mesh.edgey[jnp.clip(state.celly, 0, geom.global_ny - 1)]
+    ey_hi = mesh.edgey[jnp.clip(state.celly + 1, 0, geom.global_ny)]
+    return ex_lo, ex_hi, ey_lo, ey_hi
+
+
 def _speed_of(energy):
     return jnp.sqrt(jnp.asarray(_SPEED_COEF, energy.dtype) * energy)
 
@@ -115,6 +163,7 @@ def _heating_response(energy, sig_a, sig_t):
     return energy - (1.0 - absorb_frac) * avg_exit_scatter
 
 
+@partial(jax.jit, static_argnames=("geom",))
 def begin_timestep(state: ParticleState, mesh: Mesh2D, geom: Geometry,
                    scatter_tab: CrossSection, dt: float,
                    master_key) -> ParticleState:
@@ -127,10 +176,7 @@ def begin_timestep(state: ParticleState, mesh: Mesh2D, geom: Geometry,
     dtype = state.dtype
     live = ~state.dead
 
-    lx = state.cellx - geom.x_off
-    ly = state.celly - geom.y_off
-    density = mesh.density.reshape(-1)[
-        jnp.clip(ly * geom.nx + lx, 0, geom.nx * geom.ny - 1)]
+    density = _density_of(state, mesh, geom)
     sig_s = scatter_tab.lookup(state.energy)
     mac_s = _macroscopic(density, sig_s)
 
@@ -167,7 +213,7 @@ def event_sweep(state: ParticleState, tally: jnp.ndarray, mesh: Mesh2D,
     lx = state.cellx - geom.x_off
     ly = state.celly - geom.y_off
     flat_cell = jnp.clip(ly * geom.nx + lx, 0, geom.nx * geom.ny - 1)
-    density = mesh.density.reshape(-1)[flat_cell]
+    density = _density_of(state, mesh, geom)
     sig_s = scatter_tab.lookup(state.energy)
     sig_a = absorb_tab.lookup(state.energy)
     sig_t = sig_s + sig_a
@@ -179,10 +225,7 @@ def event_sweep(state: ParticleState, tally: jnp.ndarray, mesh: Mesh2D,
     speed = _speed_of(state.energy)
 
     # ---- three candidate distances (reference: omp3/neutral.c:423-471) ----
-    ex_lo = mesh.edgex[jnp.clip(state.cellx, 0, geom.global_nx - 1)]
-    ex_hi = mesh.edgex[jnp.clip(state.cellx + 1, 0, geom.global_nx)]
-    ey_lo = mesh.edgey[jnp.clip(state.celly, 0, geom.global_ny - 1)]
-    ey_hi = mesh.edgey[jnp.clip(state.celly + 1, 0, geom.global_ny)]
+    ex_lo, ex_hi, ey_lo, ey_hi = _facet_edges(state, mesh, geom)
     obc = jnp.asarray(OPEN_BOUND_CORRECTION, dtype)
     u_x_inv = 1.0 / (state.omega_x * speed)
     u_y_inv = 1.0 / (state.omega_y * speed)
@@ -262,11 +305,18 @@ def event_sweep(state: ParticleState, tally: jnp.ndarray, mesh: Mesh2D,
 
     # ---- tally flush: leaving a cell, dying, or reaching census ------------
     # (reference flush sites: omp3/neutral.c:248-250, 325-327, 400-402;
-    # scatter-add replaces the reference's atomics.)
+    # scatter-add replaces the reference's atomics.)  Collision-dominated
+    # sweeps often have ZERO flushing lanes (collisions don't flush), and
+    # XLA's TPU scatter costs ~10ms per 1M lanes whether or not values are
+    # zero — so the whole scatter is skipped when nothing flushes.
     flush = is_facet | is_census | died
     contrib = jnp.where(flush, deposit, zero).astype(tally.dtype)
     contrib = contrib * jnp.asarray(inv_ntotal, tally.dtype)
-    tally = tally.at[flat_cell].add(contrib, mode="promise_in_bounds")
+    tally = lax.cond(
+        jnp.any(flush),
+        lambda t: t.at[flat_cell].add(contrib, mode="promise_in_bounds"),
+        lambda t: t,
+        tally)
     deposit = jnp.where(flush, zero, deposit)
 
     # ---- facet cell transition / boundary reflection ------------------------
@@ -303,34 +353,52 @@ def event_sweep(state: ParticleState, tally: jnp.ndarray, mesh: Mesh2D,
 
 
 @partial(jax.jit, static_argnames=("geom", "max_sweeps", "events_per_sweep"))
+def sweep_chunk(state: ParticleState, tally: jnp.ndarray,
+                counts: EventCounts, mesh: Mesh2D,
+                scatter_tab: CrossSection, absorb_tab: CrossSection,
+                geom: Geometry, master_key, inv_ntotal: float,
+                max_sweeps: int, events_per_sweep: int = 1):
+    """Run up to `max_sweeps` event sweeps in ONE device dispatch.
+
+    Bounding the while_loop per dispatch keeps each XLA execution short —
+    long censuses (stream needs thousands of sweeps) are then host-chained
+    chunks instead of one multi-minute device program, giving progress
+    visibility and robustness against RPC deadlines on remote TPU links.
+    Returns (state, tally, counts, nsweeps_done, any_live).
+    """
+    def cond(carry):
+        s, _, _, it = carry
+        return jnp.any((~s.dead) & (s.dt_to_census > 0)) & (it < max_sweeps)
+
+    def body(carry):
+        s, t, c, it = carry
+        for _ in range(events_per_sweep):
+            s, t, nf, nc = event_sweep(s, t, mesh, geom, scatter_tab,
+                                       absorb_tab, master_key, inv_ntotal)
+            c = c.add(nf, nc)
+        return (s, t, c, it + 1)
+
+    carry = (state, tally, counts, jnp.zeros((), jnp.int32))
+    state, tally, counts, nsweeps = lax.while_loop(cond, body, carry)
+    any_live = jnp.any((~state.dead) & (state.dt_to_census > 0))
+    return state, tally, counts, nsweeps * events_per_sweep, any_live
+
+
+@partial(jax.jit, static_argnames=("geom", "max_sweeps", "events_per_sweep"))
 def run_timestep(state: ParticleState, tally: jnp.ndarray, mesh: Mesh2D,
                  scatter_tab: CrossSection, absorb_tab: CrossSection,
                  geom: Geometry, dt: float, master_key, inv_ntotal: float,
                  max_sweeps: int = 1_000_000, events_per_sweep: int = 1):
-    """One full census timestep: sweep events until no particle is live.
+    """One full census timestep in a single dispatch (small problems/tests).
 
     Equivalent of the reference's solve_transport_2d/handle_particles
     (omp3/neutral.c:19-206) for one batch.  Returns
-    (state, tally, counts, nprocessed, nsweeps).
+    (state, tally, counts, nprocessed, nsweeps).  Production paths chunk
+    instead: begin_timestep + host-looped sweep_chunk (driver.py).
     """
     state = begin_timestep(state, mesh, geom, scatter_tab, dt, master_key)
     nprocessed = jnp.count_nonzero(~state.dead).astype(jnp.uint32)
-
-    def live_any(s: ParticleState):
-        return jnp.any((~s.dead) & (s.dt_to_census > 0))
-
-    def cond(carry):
-        s, _, _, it = carry
-        return live_any(s) & (it < max_sweeps)
-
-    def body(carry):
-        s, t, counts, it = carry
-        for _ in range(events_per_sweep):
-            s, t, nf, nc = event_sweep(s, t, mesh, geom, scatter_tab,
-                                       absorb_tab, master_key, inv_ntotal)
-            counts = counts.add(nf, nc)
-        return (s, t, counts, it + 1)
-
-    carry = (state, tally, EventCounts.zeros(), jnp.zeros((), jnp.int32))
-    state, tally, counts, nsweeps = lax.while_loop(cond, body, carry)
-    return state, tally, counts, nprocessed, nsweeps * events_per_sweep
+    state, tally, counts, nsweeps, _ = sweep_chunk(
+        state, tally, EventCounts.zeros(), mesh, scatter_tab, absorb_tab,
+        geom, master_key, inv_ntotal, max_sweeps, events_per_sweep)
+    return state, tally, counts, nprocessed, nsweeps

@@ -1,0 +1,101 @@
+"""Driver, IO and checkpoint tests (small CPU configs)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from neutral_tpu.config import SimConfig, SourceBox, ProblemRegion, load_config
+from neutral_tpu.driver import Simulation, within_tolerance
+from neutral_tpu import io_utils
+
+
+def small_cfg(**kw):
+    base = dict(nx=50, ny=50, dt=1e-7, niters=2, nparticles=500,
+                initial_energy=1.0e4,
+                source=SourceBox(0.1, 0.1, 0.2, 0.2),
+                problems=(ProblemRegion(1.0e-30, 0.0, 0.0, 1.0, 1.0),
+                          ProblemRegion(1.0e4, 0.4, 0.4, 0.2, 0.2)),
+                dtype="float64", tally_dtype="float64")
+    base.update(kw)
+    return SimConfig(**base)
+
+
+def test_driver_deck_roundtrip(tmp_path):
+    """A written deck parses into the same config the reference grammar gives."""
+    deck = tmp_path / "mini.params"
+    deck.write_text(
+        "nparticles 500\ninitial_energy 1.0e4\ndt 1.0e-7\n"
+        "nx 50\nny 50\niterations 2\nvisit_dump 0\n"
+        "source xpos=0.1 ypos=0.1 width=0.2 height=0.2\n"
+        "problem_0 density=1.0e-30 energy=0.0 xpos=0.0 ypos=0.0 "
+        "width=1.0 height=1.0\n")
+    cfg = load_config(str(deck))
+    assert cfg.nparticles == 500
+    assert cfg.source == SourceBox(0.1, 0.1, 0.2, 0.2)
+    assert cfg.problems[0].density == 1.0e-30
+
+
+def test_driver_run_and_metrics(capsys):
+    sim = Simulation(small_cfg(), quiet=False)
+    sim.run()
+    out = capsys.readouterr().out
+    assert "Iteration  1" in out
+    assert "Facet Events / s" in out
+    assert "Final global_energy_tally" in out
+    # no golden configured -> warning path
+    assert "could not find a golden" in out
+    assert len(sim.step_metrics) == 2
+    assert sim.step_metrics[0].nprocessed == 500
+
+
+def test_driver_validate_golden():
+    sim = Simulation(small_cfg(niters=1), quiet=True)
+    sim.run()
+    total = float(np.asarray(sim.tally, dtype=np.float64).sum())
+    # golden = own result: passes; off-by-1% fails at 1e-3 rel tol
+    sim.cfg = sim.cfg.with_(expected_tally=total)
+    assert within_tolerance(total, float(sim.validate()), 1e-12)
+    sim.cfg = sim.cfg.with_(expected_tally=total * 1.01)
+    assert not within_tolerance(sim.cfg.expected_tally, total, 1e-3)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """Stop after step 1, resume, and get bitwise-identical final tallies."""
+    cfg = small_cfg(niters=2)
+    a = Simulation(cfg, quiet=True)
+    a.step(1)
+    a.step(2)
+    full = np.asarray(a.tally)
+
+    b = Simulation(cfg, quiet=True)
+    b.step(1)
+    ckpt = str(tmp_path / "state.npz")
+    b.checkpoint(ckpt, 1)
+
+    c = Simulation(cfg, quiet=True)
+    step = c.restore(ckpt)
+    assert step == 1
+    c.step(2)
+    resumed = np.asarray(c.tally)
+    np.testing.assert_array_equal(full, resumed)
+
+
+def test_bov_writer(tmp_path):
+    field = np.arange(12, dtype=np.float64).reshape(3, 4)
+    base = str(tmp_path / "energy1")
+    io_utils.write_bov(base, field, variable="energy", time=0.5)
+    hdr = open(base + ".bov").read()
+    assert "DATA_SIZE: 4 3 1" in hdr
+    back = np.fromfile(base + ".dat", dtype=np.float64).reshape(3, 4)
+    np.testing.assert_array_equal(field, back)
+
+
+def test_particle_density_histogram():
+    sim = Simulation(small_cfg(niters=1), quiet=True)
+    dens = io_utils.particle_density(sim.state, 50, 50)
+    assert dens.sum() == 500  # only live lanes counted
+    # all particles start inside the source box [0.1, 0.3)^2 -> cells 5..14
+    ys, xs = np.nonzero(dens)
+    assert xs.min() >= 5 and xs.max() <= 15
+    assert ys.min() >= 5 and ys.max() <= 15
