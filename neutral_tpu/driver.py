@@ -315,6 +315,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="resume from a checkpoint npz")
     p.add_argument("--trace-dir", default=None,
                    help="jax.profiler trace output directory")
+    p.add_argument("--backend", default="jax", choices=["jax", "native"],
+                   help="jax = event-based XLA engine (default); "
+                        "native = history-based C++/OpenMP host engine")
     args = p.parse_args(argv)
 
     cfg = load_config(args.params)
@@ -327,6 +330,9 @@ def main(argv: list[str] | None = None) -> int:
                         ny=cfg.ny // args.mesh_scale, expected_tally=None)
     if args.dtype:
         cfg = cfg.with_(dtype=args.dtype, tally_dtype=args.dtype)
+
+    if args.backend == "native":
+        return _run_native(cfg)
 
     if jnp.dtype(cfg.dtype) == jnp.float64:
         jax.config.update("jax_enable_x64", True)
@@ -341,6 +347,47 @@ def main(argv: list[str] | None = None) -> int:
         sim.run()
     if args.checkpoint:
         sim.checkpoint(args.checkpoint, len(sim.step_metrics))
+    return 0
+
+
+def _run_native(cfg: SimConfig) -> int:
+    """Drive the history-based C++ engine with the same print contract."""
+    import time
+
+    from . import native
+
+    sim = native.NativeSimulation(cfg)
+    print(f"Native engine with {native._load().nt_num_threads()} threads.")
+    wallclock = 0.0
+    elapsed = 0.0
+    for tt in range(1, cfg.niters + 1):
+        print(f"\nIteration  {tt}")
+        t0 = time.perf_counter()
+        nf, nc, nproc = sim.step(tt)
+        step_time = time.perf_counter() - t0
+        wallclock += step_time
+        print(f"Handled {nproc} particles")
+        print(f"Step time  {step_time:.4f}s")
+        print(f"Wallclock  {wallclock:.4f}s")
+        print(f"Facets     {nf}")
+        print(f"Collisions {nc}")
+        print(f"Facet Events / s {nf / step_time:.2e}")
+        print(f"Collision Events / s {nc / step_time:.2e}")
+        elapsed += cfg.dt
+        if elapsed >= cfg.sim_end:
+            print("Reached end of simulation time")
+            break
+    total = float(sim.tally.sum())
+    print(f"Final global_energy_tally {total:.15e}")
+    expected = cfg.expected_tally
+    if expected is None:
+        print("WARNING: could not find a golden result to validate against")
+    elif within_tolerance(expected, total, VALIDATE_TOLERANCE):
+        print("PASSED validation.")
+    else:
+        print(f"FAILED validation: expected {expected:.12e}, got {total:.12e}")
+    print(f"Final Wallclock {wallclock:.9f}s")
+    print(f"Elapsed Simulation Time {elapsed:.6f}s")
     return 0
 
 
