@@ -40,39 +40,31 @@ def main() -> int:
     n_dev = len(jax.devices())
     if n_dev > 1:
         from neutral_tpu.parallel import ShardedSimulation
-        sim = ShardedSimulation(cfg)
+        sim = ShardedSimulation(cfg, quiet=True)
     else:
         from neutral_tpu.driver import Simulation
         sim = Simulation(cfg, quiet=True)
 
-    # Warmup compile on step 1's shapes (all steps share one executable).
     total_events = 0
     total_time = 0.0
+    first_events = first_time = 0
     for tt in range(1, cfg.niters + 1):
         t0 = time.perf_counter()
-        if n_dev > 1:
-            counts, _, _ = sim.step(tt)
-            nf, nc = counts.totals()
-        else:
-            m = sim.step(tt)
-            nf, nc = m.nfacets, m.ncollisions
+        m = sim.step(tt)
         dt = time.perf_counter() - t0
         # Exclude step 1's compile time from the rate but keep its events.
-        total_events += nf + nc
+        total_events += m.nfacets + m.ncollisions
         if tt > 1:
             total_time += dt
         else:
-            first_events = nf + nc
+            first_events = m.nfacets + m.ncollisions
             first_time = dt
     if cfg.niters == 1:
         total_time = first_time
     else:
         total_events -= first_events
 
-    if n_dev > 1:
-        tally_sum = sim.global_tally_sum()
-    else:
-        tally_sum = float(np.asarray(sim.tally, dtype=np.float64).sum())
+    tally_sum = float(np.asarray(sim.tally, dtype=np.float64).sum())
 
     expected = cfg.expected_tally
     rel_err = (abs(tally_sum - expected) / abs(expected)

@@ -75,12 +75,12 @@ class StepMetrics:
     nsweeps: int
 
 
-class Simulation:
-    """Single-program simulation over one device (or one replicated shard).
+class SimulationBase:
+    """Shared driver logic: timestep loop, metric contract, validation, IO.
 
-    Owns the device-resident state: mesh, cross-section tables, particle SoA
-    batch and the energy-deposition tally.  `run()` reproduces the reference
-    driver loop; `step()` is exposed separately for tests/benchmarks.
+    Subclasses provide the device-resident particle/tally state and the
+    `step()` implementation: Simulation (single device) and
+    parallel.sharding.ShardedSimulation (device-mesh data parallel).
     """
 
     def __init__(self, cfg: SimConfig, *, dtype=None,
@@ -103,89 +103,13 @@ class Simulation:
                                                  analytic=cfg.fast_math)
         self.cs_absorb = CrossSection.resonance(dtype=self.dtype,
                                                 analytic=cfg.fast_math)
-
-        # Single-shard source window covers the whole source box, so the
-        # local count equals the requested count (reference:
-        # neutral_data.c:89-95 with area fraction 1).
-        n = cfg.nparticles
-        self.state: ParticleState = inject_particles(
-            self.mesh,
-            nparticles=n,
-            source_x0=cfg.source.xpos * cfg.width,
-            source_y0=cfg.source.ypos * cfg.height,
-            source_width=cfg.source.width * cfg.width,
-            source_height=cfg.source.height * cfg.height,
-            initial_energy=cfg.initial_energy,
-            dt=cfg.dt,
-            dtype=self.dtype,
-            pad_to=_round_up(n, _LANE_PAD),
-        )
-        tally_dtype = jnp.dtype(cfg.tally_dtype)
-        self.tally = jnp.zeros(cfg.nx * cfg.ny, dtype=tally_dtype)
         self.elapsed_sim_time = 0.0
         self.wallclock = 0.0
         self.profile = Profile()
         self.step_metrics: list[StepMetrics] = []
 
-    # ------------------------------------------------------------------
-    def step(self, tt: int) -> StepMetrics:
-        """Advance one census timestep (master_key = tt, as main.c:101).
-
-        The census is host-chained in bounded sweep chunks: each device
-        dispatch runs at most `chunk_sweeps` event sweeps, so no single XLA
-        execution is unboundedly long (robust over remote TPU links) and
-        long censuses show progress.
-        """
-        from .particles import live_count, merge_compacted, select_working
-        from .transport import EventCounts, begin_timestep, sweep_chunk
-
-        self.profile.start()
-        master_key = jnp.uint32(tt)
-        full = begin_timestep(self.state, self.mesh, self.geom,
-                              self.cs_scatter, self.cfg.dt, master_key)
-        nprocessed = jnp.count_nonzero(~full.dead)
-        counts = EventCounts.zeros()
-        nsweeps = 0
-
-        # Live-lane compaction: when most lanes have finished their census
-        # (long-tail problems like csp), shrink the working set to the next
-        # power of two so sweeps stop paying bandwidth for finished lanes.
-        # pid-keyed RNG makes this physically invisible (see
-        # particles.select_working).
-        part, sel = full, None
-        min_cap = self.compact_min
-        while True:
-            part, self.tally, counts, done, any_live = sweep_chunk(
-                part, self.tally, counts, self.mesh, self.cs_scatter,
-                self.cs_absorb, self.geom, master_key,
-                1.0 / self.cfg.nparticles, self.chunk_sweeps,
-                events_per_sweep=self.events_per_sweep)
-            nsweeps += int(done)
-            if not bool(any_live):
-                break
-            cap = part.n
-            if self.compact_enabled and cap > min_cap:
-                live = int(live_count(part))
-                target = max(min_cap, 1 << (max(live, 1) - 1).bit_length())
-                if target <= cap // 2:
-                    if sel is not None:
-                        full = merge_compacted(full, part, sel)
-                    else:
-                        full = part
-                    part, sel = select_working(full, target)
-        if sel is not None:
-            full = merge_compacted(full, part, sel)
-        else:
-            full = part
-        self.state = full
-        jax.block_until_ready(self.tally)
-        step_time = self.profile.stop(f"step{tt}")
-        nf, nc = counts.totals()
-        m = StepMetrics(step=tt, step_time=step_time, nfacets=nf,
-                        ncollisions=nc, nprocessed=int(nprocessed),
-                        nsweeps=int(nsweeps))
-        self.step_metrics.append(m)
-        return m
+    def step(self, tt: int) -> StepMetrics:  # pragma: no cover - abstract
+        raise NotImplementedError
 
     # ------------------------------------------------------------------
     def run(self) -> float:
@@ -267,9 +191,12 @@ class Simulation:
             cellx=jnp.asarray(state.cellx), celly=jnp.asarray(state.celly),
             dead=jnp.asarray(state.dead), pid=jnp.asarray(state.pid),
             counter=jnp.asarray(state.counter))
-        self.tally = jnp.asarray(tally, self.tally.dtype)
+        self._set_tally(jnp.asarray(tally, jnp.dtype(self.cfg.tally_dtype)))
         self.elapsed_sim_time = t
         return step
+
+    def _set_tally(self, tally: jnp.ndarray) -> None:
+        self.tally = tally
 
     # ------------------------------------------------------------------
     def _dump_particle_density(self, tt: int) -> None:
@@ -280,6 +207,93 @@ class Simulation:
     def _print(self, msg: str) -> None:
         if not self.quiet:
             print(msg, flush=True)
+
+
+class Simulation(SimulationBase):
+    """Single-device simulation (one chip, or CPU)."""
+
+    def __init__(self, cfg: SimConfig, *, dtype=None,
+                 events_per_sweep: int | None = None, quiet: bool = False):
+        super().__init__(cfg, dtype=dtype, events_per_sweep=events_per_sweep,
+                         quiet=quiet)
+        # Single-shard source window covers the whole source box, so the
+        # local count equals the requested count (reference:
+        # neutral_data.c:89-95 with area fraction 1).
+        n = cfg.nparticles
+        self.state: ParticleState = inject_particles(
+            self.mesh,
+            nparticles=n,
+            source_x0=cfg.source.xpos * cfg.width,
+            source_y0=cfg.source.ypos * cfg.height,
+            source_width=cfg.source.width * cfg.width,
+            source_height=cfg.source.height * cfg.height,
+            initial_energy=cfg.initial_energy,
+            dt=cfg.dt,
+            dtype=self.dtype,
+            pad_to=_round_up(n, _LANE_PAD),
+        )
+        self.tally = jnp.zeros(cfg.nx * cfg.ny,
+                               dtype=jnp.dtype(cfg.tally_dtype))
+
+    # ------------------------------------------------------------------
+    def step(self, tt: int) -> StepMetrics:
+        """Advance one census timestep (master_key = tt, as main.c:101).
+
+        The census is host-chained in bounded sweep chunks: each device
+        dispatch runs at most `chunk_sweeps` event sweeps, so no single XLA
+        execution is unboundedly long (robust over remote TPU links) and
+        long censuses show progress.
+        """
+        from .particles import live_count, merge_compacted, select_working
+        from .transport import EventCounts, begin_timestep, sweep_chunk
+
+        self.profile.start()
+        master_key = jnp.uint32(tt)
+        full = begin_timestep(self.state, self.mesh, self.geom,
+                              self.cs_scatter, self.cfg.dt, master_key)
+        nprocessed = jnp.count_nonzero(~full.dead)
+        counts = EventCounts.zeros()
+        nsweeps = 0
+
+        # Live-lane compaction: when most lanes have finished their census
+        # (long-tail problems like csp), shrink the working set to the next
+        # power of two so sweeps stop paying bandwidth for finished lanes.
+        # pid-keyed RNG makes this physically invisible (see
+        # particles.select_working).
+        part, sel = full, None
+        min_cap = self.compact_min
+        while True:
+            part, self.tally, counts, done, any_live = sweep_chunk(
+                part, self.tally, counts, self.mesh, self.cs_scatter,
+                self.cs_absorb, self.geom, master_key,
+                1.0 / self.cfg.nparticles, self.chunk_sweeps,
+                events_per_sweep=self.events_per_sweep)
+            nsweeps += int(done)
+            if not bool(any_live):
+                break
+            cap = part.n
+            if self.compact_enabled and cap > min_cap:
+                live = int(live_count(part))
+                target = max(min_cap, 1 << (max(live, 1) - 1).bit_length())
+                if target <= cap // 2:
+                    if sel is not None:
+                        full = merge_compacted(full, part, sel)
+                    else:
+                        full = part
+                    part, sel = select_working(full, target)
+        if sel is not None:
+            full = merge_compacted(full, part, sel)
+        else:
+            full = part
+        self.state = full
+        jax.block_until_ready(self.tally)
+        step_time = self.profile.stop(f"step{tt}")
+        nf, nc = counts.totals()
+        m = StepMetrics(step=tt, step_time=step_time, nfacets=nf,
+                        ncollisions=nc, nprocessed=int(nprocessed),
+                        nsweeps=int(nsweeps))
+        self.step_metrics.append(m)
+        return m
 
 
 def within_tolerance(expected: float, actual: float, tol: float) -> bool:
@@ -337,7 +351,12 @@ def main(argv: list[str] | None = None) -> int:
     if jnp.dtype(cfg.dtype) == jnp.float64:
         jax.config.update("jax_enable_x64", True)
 
-    sim = Simulation(cfg, events_per_sweep=args.events_per_sweep)
+    if len(jax.devices()) > 1:
+        from .parallel import ShardedSimulation
+        sim = ShardedSimulation(cfg, events_per_sweep=args.events_per_sweep)
+        print(f"Sharding particles over {len(jax.devices())} devices.")
+    else:
+        sim = Simulation(cfg, events_per_sweep=args.events_per_sweep)
     if args.restore:
         start = sim.restore(args.restore)
         print(f"Restored checkpoint at step {start}")

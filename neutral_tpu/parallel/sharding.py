@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from .. import driver as driver_mod
 from .. import transport
 from ..config import SimConfig
 from ..mesh import Mesh2D, build_mesh
@@ -179,32 +180,23 @@ class _HostCounts:
         return self.nfacets, self.ncollisions
 
 
-class ShardedSimulation:
+class ShardedSimulation(driver_mod.SimulationBase):
     """Multi-chip particle-parallel simulation (replicated mesh mode).
 
-    API-compatible with driver.Simulation where it matters (step/run/
-    validate); the driver CLI auto-selects it when >1 device is visible.
+    Same run()/validate()/IO as driver.Simulation; state is sharded over
+    the device mesh and tallies are per-shard partials.  The driver CLI
+    auto-selects this class when more than one device is visible.
     """
 
     def __init__(self, cfg: SimConfig, *, dtype=None,
                  events_per_sweep: int | None = None,
                  device_mesh: Mesh | None = None, quiet: bool = False):
-        self.cfg = cfg
-        self.dtype = jnp.dtype(dtype or cfg.dtype)
-        self.quiet = quiet
-        self.events_per_sweep = int(events_per_sweep
-                                    or cfg.events_per_sweep or 1)
+        super().__init__(cfg, dtype=dtype, events_per_sweep=events_per_sweep,
+                         quiet=quiet)
         self.device_mesh = device_mesh or make_device_mesh()
         self.axis = self.device_mesh.axis_names[0]
         nshards = self.device_mesh.devices.size
-
-        from ..driver import make_geometry
-        self.mesh2d = build_mesh(cfg, dtype=self.dtype)
-        self.geom = make_geometry(cfg)
-        self.cs_scatter = CrossSection.resonance(dtype=self.dtype,
-                                                 analytic=cfg.fast_math)
-        self.cs_absorb = CrossSection.resonance(dtype=self.dtype,
-                                                analytic=cfg.fast_math)
+        self.mesh2d = self.mesh  # alias used by the sharded step fns
 
         # Pad so each shard gets an equal, lane-aligned slab.  pid stays
         # globally contiguous: shard boundaries NEVER change the RNG stream
@@ -229,29 +221,23 @@ class ShardedSimulation:
             jnp.zeros((nshards, cfg.nx * cfg.ny),
                       dtype=jnp.dtype(cfg.tally_dtype)),
             NamedSharding(self.device_mesh, P(self.axis, None)))
-        self.elapsed_sim_time = 0.0
-        self.wallclock = 0.0
 
     def step(self, tt: int):
-        """Chunk-dispatched census step; returns (counts, nproc, nsweeps).
-
-        `counts` is returned as a transport.EventCounts-compatible object
-        with .totals() for driver compatibility.
-        """
+        """Chunk-dispatched sharded census step; returns StepMetrics."""
+        self.profile.start()
         master_key = jnp.uint32(tt)
         self.state, nprocessed = begin_timestep_sharded(
             self.state, self.mesh2d, self.cs_scatter, self.geom,
             self.cfg.dt, master_key, self.device_mesh)
         nf = nc = 0
         nsweeps = 0
-        chunk = getattr(self.cfg, "chunk_sweeps", 256) or 256
         while True:
             (self.state, self.tally_parts, c_rows, done,
              any_live) = sweep_chunk_sharded(
                 self.state, self.tally_parts, self.mesh2d, self.cs_scatter,
                 self.cs_absorb, self.geom, master_key,
-                1.0 / self.cfg.nparticles, self.device_mesh, chunk,
-                events_per_sweep=self.events_per_sweep)
+                1.0 / self.cfg.nparticles, self.device_mesh,
+                self.chunk_sweeps, events_per_sweep=self.events_per_sweep)
             dnf, dnc = combine_count_rows(c_rows)
             nf += dnf
             nc += dnc
@@ -259,7 +245,12 @@ class ShardedSimulation:
             if not bool(any_live):
                 break
         jax.block_until_ready(self.tally_parts)
-        return _HostCounts(nf, nc), nprocessed, nsweeps
+        step_time = self.profile.stop(f"step{tt}")
+        m = driver_mod.StepMetrics(
+            step=tt, step_time=step_time, nfacets=nf, ncollisions=nc,
+            nprocessed=int(nprocessed), nsweeps=nsweeps)
+        self.step_metrics.append(m)
+        return m
 
     @property
     def tally(self) -> jnp.ndarray:
@@ -268,3 +259,46 @@ class ShardedSimulation:
 
     def global_tally_sum(self) -> float:
         return float(np.asarray(self.tally_parts, dtype=np.float64).sum())
+
+    def restore(self, path: str) -> int:
+        step = super().restore(path)
+        # Re-place the restored arrays onto the device mesh.
+        shard_sharding = NamedSharding(self.device_mesh, P(self.axis))
+        self.state = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, shard_sharding), self.state)
+        return step
+
+    def _set_tally(self, tally: jnp.ndarray) -> None:
+        # Restored tally is the accumulated global grid; shard 0 carries it
+        # as its partial, the rest start from zero.
+        nshards = self.device_mesh.devices.size
+        parts = jnp.zeros((nshards, self.cfg.nx * self.cfg.ny),
+                          dtype=jnp.dtype(self.cfg.tally_dtype))
+        parts = parts.at[0].set(tally)
+        self.tally_parts = jax.device_put(
+            parts, NamedSharding(self.device_mesh, P(self.axis, None)))
+
+
+def initialise_distributed(coordinator: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host (multi-process) initialization.
+
+    TPU-native replacement for the reference's initialise_mpi/initialise_comms
+    (arch comms API, SURVEY.md §2.9): on TPU pods each host process calls
+    this once before touching devices; jax.distributed wires the hosts and
+    jax.devices() becomes the global device set, over which the same
+    shard_map programs run unchanged.  No-op when already initialized or
+    when running single-process (the common single-host case).
+    """
+    import jax
+
+    try:
+        if coordinator is None:
+            jax.distributed.initialize()  # env-driven (TPU pods auto-detect)
+        else:
+            jax.distributed.initialize(coordinator_address=coordinator,
+                                       num_processes=num_processes,
+                                       process_id=process_id)
+    except (RuntimeError, ValueError):
+        pass  # single-process run or already initialized

@@ -36,20 +36,15 @@ def test_sharded_matches_single_device():
         single.step(tt)
     s_tally = np.asarray(single.tally, dtype=np.float64)
 
-    sharded = ShardedSimulation(cfg)
+    sharded = ShardedSimulation(cfg, quiet=True)
     for tt in (1, 2):
-        counts, nproc, _ = sharded.step(tt)
+        sm = sharded.step(tt)
     m_tally = np.asarray(sharded.tally, dtype=np.float64)
 
-    assert int(nproc) == sum(m.nprocessed for m in single.step_metrics[-1:])
+    assert sm.nprocessed == single.step_metrics[-1].nprocessed
     # event counts must agree EXACTLY: every history is bitwise identical
-    nf = sum(m.nfacets for m in single.step_metrics)
-    nc = sum(m.ncollisions for m in single.step_metrics)
-    # counts from the sharded run are cumulative per step call; re-sum
-    # (compare final step's psum'd totals against single's final step)
-    sf, sc = counts.totals()
-    assert (sf, sc) == (single.step_metrics[-1].nfacets,
-                        single.step_metrics[-1].ncollisions)
+    assert (sm.nfacets, sm.ncollisions) == (
+        single.step_metrics[-1].nfacets, single.step_metrics[-1].ncollisions)
 
     np.testing.assert_allclose(m_tally.sum(), s_tally.sum(), rtol=1e-12)
     np.testing.assert_allclose(m_tally, s_tally, rtol=1e-9, atol=1e-300)
@@ -59,17 +54,17 @@ def test_device_mesh_subsets():
     mesh2 = make_device_mesh(2)
     assert mesh2.devices.size == 2
     cfg = cfg64(niters=1, nparticles=1000)
-    sim = ShardedSimulation(cfg, device_mesh=mesh2)
-    counts, nproc, _ = sim.step(1)
-    assert int(nproc) == 1000
+    sim = ShardedSimulation(cfg, device_mesh=mesh2, quiet=True)
+    m = sim.step(1)
+    assert m.nprocessed == 1000
 
 
 def test_pid_stability_across_topologies():
     """2-way and 8-way shardings produce identical tallies (same streams)."""
     cfg = cfg64(niters=1, nparticles=2048)
-    a = ShardedSimulation(cfg, device_mesh=make_device_mesh(2))
+    a = ShardedSimulation(cfg, device_mesh=make_device_mesh(2), quiet=True)
     a.step(1)
-    b = ShardedSimulation(cfg, device_mesh=make_device_mesh(8))
+    b = ShardedSimulation(cfg, device_mesh=make_device_mesh(8), quiet=True)
     b.step(1)
     np.testing.assert_allclose(a.global_tally_sum(), b.global_tally_sum(),
                                rtol=1e-12)
