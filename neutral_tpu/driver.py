@@ -45,6 +45,26 @@ from .xs import CrossSection
 _LANE_PAD = 1024
 
 
+def enable_compilation_cache() -> None:
+    """Persistent XLA compile cache (compacted shapes recompile otherwise).
+
+    The adaptive compaction ladder (driver step loop) runs the sweep over a
+    handful of power-of-4 particle-array sizes; each size is a separate XLA
+    executable.  Caching them on disk makes every run after the first start
+    instantly — especially valuable on this class of host where XLA
+    compiles are slow.
+    """
+    import os
+    cache_dir = os.environ.get(
+        "NEUTRAL_TPU_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "neutral_tpu_xla"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the persistent cache
+
+
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
@@ -96,6 +116,7 @@ class SimulationBase:
         # compacts adaptively, so treat 0 as "on" and -1 as "off".
         self.compact_enabled = cfg.compact_every >= 0
         self.compact_min = 8192         # smallest working-set capacity
+        enable_compilation_cache()
 
         self.mesh: Mesh2D = build_mesh(cfg, dtype=self.dtype)
         self.geom = make_geometry(cfg)
@@ -275,7 +296,10 @@ class Simulation(SimulationBase):
             if self.compact_enabled and cap > min_cap:
                 live = int(live_count(part))
                 target = max(min_cap, 1 << (max(live, 1) - 1).bit_length())
-                if target <= cap // 2:
+                # Shrink only in >=4x jumps: each new size is a separate XLA
+                # executable, so a gentler ladder would churn compiles for
+                # marginal bandwidth savings (cached across runs regardless).
+                if target <= cap // 4:
                     if sel is not None:
                         full = merge_compacted(full, part, sel)
                     else:
