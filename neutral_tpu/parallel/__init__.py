@@ -1,4 +1,5 @@
 """Multi-chip parallelism: device meshes, sharded transport, collectives."""
 
-from .sharding import (ShardedSimulation, make_device_mesh,  # noqa: F401
-                       run_timestep_sharded)
+from .sharding import (ShardedSimulation, initialise_distributed,  # noqa: F401
+                       make_device_mesh, run_timestep_sharded)
+from .spatial import SpatialSimulation  # noqa: F401

@@ -1,0 +1,278 @@
+"""Spatially-decomposed transport: sharded tally slabs + particle migration.
+
+The reference's MPI design decomposes the mesh over ranks but never
+implemented particle migration (`send_and_mark_particle` is declared in
+every backend header and stubbed empty — cuda/neutral.cu:133,
+neutral_data.h:35 `PARTICLE_SENT`); on `master` each rank effectively
+tracks its particles across the whole mesh.  This module builds the real
+feature, TPU-native:
+
+  * 1D slab decomposition along y: shard s owns global rows
+    [s*rows, (s+1)*rows) — its private tally slab (the large mutable
+    state, which is what limits replicated-mesh scaling).
+  * Material lookups are analytic (fast_math regions), so ANY shard can
+    evaluate physics for ANY cell — no density halo exchange is needed at
+    all (the TPU answer to arch's handle_boundary_2d density halo;
+    main.c:70-71).
+  * Lanes that cross their slab boundary FREEZE (transport.working_mask):
+    their deposit was flushed at the facet crossing, so frozen lanes carry
+    no tally state.  At each chunk boundary a fixed-size `ppermute`
+    exchange ships them to the neighbor shard (slab decomposition means
+    the destination is always ±1), where they thaw and continue.  Unsent
+    overflow lanes simply stay frozen and retry next chunk — migration is
+    eventually-consistent with zero loss.
+  * Histories are keyed by immutable pid, so migrating a particle changes
+    NOTHING physically: tallies and event counts match the single-device
+    engine bit-for-bit in f64 (tested on the 8-device CPU mesh).
+
+Capacity: each shard's lane arrays get 2x the peak initial occupancy as
+headroom; migrated-away lanes leave dead husks that become free slots, so
+steady-state churn is self-balancing.  If a receive ever finds no free
+slot, an error flag aborts the run loudly (no silent particle loss).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from .. import driver as driver_mod
+from .. import transport
+from ..config import SimConfig
+from ..particles import ParticleState, inject_particles
+from ..transport import EventCounts, Geometry
+from .sharding import _state_spec, combine_count_rows, make_device_mesh
+
+
+def _partition_by_slab(state: ParticleState, nshards: int, rows: int,
+                       cap: int) -> ParticleState:
+    """Host-side: group lanes by owner shard into (nshards*cap,) arrays."""
+    celly = np.asarray(state.celly)
+    dead = np.asarray(state.dead)
+    owner = np.clip(celly // rows, 0, nshards - 1)
+
+    def build(a):
+        a = np.asarray(a)
+        out = np.zeros((nshards, cap) + a.shape[1:], a.dtype)
+        for s in range(nshards):
+            sel = np.flatnonzero((owner == s) & ~dead)
+            out[s, :sel.size] = a[sel]
+        return out.reshape(nshards * cap, *a.shape[1:])
+
+    new = jax.tree_util.tree_map(build, state)
+    # Padding lanes must be dead; rebuild the dead flag accordingly.
+    deadflag = np.ones((nshards, cap), bool)
+    for s in range(nshards):
+        n_s = int(((owner == s) & ~dead).sum())
+        deadflag[s, :n_s] = False
+    return ParticleState(
+        x=new.x, y=new.y, omega_x=new.omega_x, omega_y=new.omega_y,
+        energy=new.energy, weight=new.weight, dt_to_census=new.dt_to_census,
+        mfp_to_collision=new.mfp_to_collision, deposit=new.deposit,
+        cellx=new.cellx, celly=new.celly,
+        dead=deadflag.reshape(-1), pid=new.pid, counter=new.counter)
+
+
+def _migrate(s: ParticleState, y_off, axis: str, nshards: int, rows: int,
+             cap_xfer: int):
+    """One ±1-neighbor migration round.  Returns (state, pending, error)."""
+    live = (~s.dead) & (s.dt_to_census > 0)
+    ly = s.celly - y_off
+    go_up = live & (ly >= rows)
+    go_dn = live & (ly < 0)
+
+    def pack(mask):
+        idx = jnp.nonzero(mask, size=cap_xfer, fill_value=-1)[0]
+        valid = idx >= 0
+        safe = jnp.clip(idx, 0, None)
+        buf = jax.tree_util.tree_map(lambda a: a[safe], s)
+        return buf, valid, safe
+
+    buf_up, val_up, idx_up = pack(go_up)
+    buf_dn, val_dn, idx_dn = pack(go_dn)
+
+    # Sender side: packed lanes become dead husks (free slots).  Invalid
+    # pack slots are routed to an out-of-bounds sentinel and dropped —
+    # clipping them to 0 would make duplicate writes race with a real
+    # update of lane 0.
+    n = s.dead.shape[0]
+    dead = s.dead
+    dead = dead.at[jnp.where(val_up, idx_up, n)].set(True, mode="drop")
+    dead = dead.at[jnp.where(val_dn, idx_dn, n)].set(True, mode="drop")
+    s = ParticleState(**{**{f: getattr(s, f) for f in
+                            ParticleState.__dataclass_fields__},
+                         "dead": dead})
+
+    perm_up = [(i, i + 1) for i in range(nshards - 1)]
+    perm_dn = [(i + 1, i) for i in range(nshards - 1)]
+
+    def shuffle(tree, perm):
+        return jax.tree_util.tree_map(
+            lambda a: lax.ppermute(a, axis, perm), tree)
+
+    recv_from_below = shuffle(buf_up, perm_up)   # arrives at shard s+1
+    rv_below = lax.ppermute(val_up, axis, perm_up)
+    recv_from_above = shuffle(buf_dn, perm_dn)   # arrives at shard s-1
+    rv_above = lax.ppermute(val_dn, axis, perm_dn)
+
+    # Receiver side: thaw into free (dead) slots.
+    free = jnp.nonzero(s.dead, size=2 * cap_xfer, fill_value=-1)[0]
+
+    def place(state, buf, valid, slots):
+        ok = valid & (slots >= 0)
+        tgt = jnp.where(ok, slots, n)  # sentinel -> dropped
+
+        def put(f, b):
+            return f.at[tgt].set(b, mode="drop")
+
+        out = jax.tree_util.tree_map(put, state, buf)
+        err = jnp.any(valid & (slots < 0))
+        return out, err
+
+    s, err1 = place(s, recv_from_below, rv_below, free[:cap_xfer])
+    s, err2 = place(s, recv_from_above, rv_above, free[cap_xfer:])
+
+    # Unshipped overflow lanes stay frozen and retry next round.
+    live = (~s.dead) & (s.dt_to_census > 0)
+    ly = s.celly - y_off
+    pending = jnp.count_nonzero(live & ((ly < 0) | (ly >= rows)))
+    return s, pending, err1 | err2
+
+
+class SpatialSimulation(driver_mod.SimulationBase):
+    """Slab-decomposed multi-chip simulation with particle migration."""
+
+    def __init__(self, cfg: SimConfig, *, dtype=None,
+                 events_per_sweep: int | None = None,
+                 device_mesh: Mesh | None = None, quiet: bool = False):
+        if not cfg.fast_math:
+            raise ValueError("spatial decomposition requires fast_math "
+                             "(analytic region density)")
+        super().__init__(cfg, dtype=dtype, events_per_sweep=events_per_sweep,
+                         quiet=quiet)
+        self.device_mesh = device_mesh or make_device_mesh()
+        self.axis = self.device_mesh.axis_names[0]
+        nshards = self.device_mesh.devices.size
+        if cfg.ny % nshards:
+            raise ValueError(f"ny={cfg.ny} not divisible by {nshards} shards")
+        self.nshards = nshards
+        self.rows = cfg.ny // nshards
+        # Shard-local geometry: tally slab is rows x nx; reflection still
+        # uses the global extent.
+        self.geom = Geometry(
+            global_nx=cfg.nx, global_ny=cfg.ny, nx=cfg.nx, ny=self.rows,
+            dx=cfg.width / cfg.nx, dy=cfg.height / cfg.ny,
+            regions=self.geom.regions)
+
+        state = inject_particles(
+            self.mesh, nparticles=cfg.nparticles,
+            source_x0=cfg.source.xpos * cfg.width,
+            source_y0=cfg.source.ypos * cfg.height,
+            source_width=cfg.source.width * cfg.width,
+            source_height=cfg.source.height * cfg.height,
+            initial_energy=cfg.initial_energy, dt=cfg.dt, dtype=self.dtype)
+
+        owner = np.clip(np.asarray(state.celly) // self.rows, 0, nshards - 1)
+        peak = int(np.bincount(owner, minlength=nshards).max())
+        self.cap = max(((2 * peak + 1023) // 1024) * 1024, 2048)
+        self.cap_xfer = max(self.cap // 8, 1024)
+        packed = _partition_by_slab(state, nshards, self.rows, self.cap)
+
+        shard_sharding = NamedSharding(self.device_mesh, P(self.axis))
+        self.state = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, shard_sharding), packed)
+        self.tally_parts = jax.device_put(
+            jnp.zeros((nshards, self.rows * cfg.nx),
+                      dtype=jnp.dtype(cfg.tally_dtype)),
+            NamedSharding(self.device_mesh, P(self.axis, None)))
+
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnames=("self",))
+    def _begin(self, state, mk):
+        axis = self.axis
+
+        def shard_fn(s):
+            s = transport.begin_timestep(s, self.mesh, self.geom,
+                                         self.cs_scatter, self.cfg.dt, mk)
+            nproc = lax.psum(jnp.count_nonzero(~s.dead).astype(jnp.uint32),
+                             axis)
+            return s, nproc
+
+        fn = shard_map(shard_fn, mesh=self.device_mesh,
+                       in_specs=(_state_spec(axis),),
+                       out_specs=(_state_spec(axis), P()), check_vma=False)
+        return fn(state)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _chunk(self, state, tally_parts, mk):
+        axis = self.axis
+        rows = self.rows
+
+        def shard_fn(s, t_row):
+            y_off = (lax.axis_index(axis) * rows).astype(jnp.int32)
+            s, t, c, nsweeps, _ = transport.sweep_chunk(
+                s, t_row[0], EventCounts.zeros(), self.mesh,
+                self.cs_scatter, self.cs_absorb, self.geom, mk,
+                1.0 / self.cfg.nparticles, self.chunk_sweeps,
+                events_per_sweep=self.events_per_sweep, y_off_dyn=y_off)
+            s, pending, err = _migrate(s, y_off, axis, self.nshards, rows,
+                                       self.cap_xfer)
+            work = jnp.count_nonzero(
+                transport.working_mask(s, self.geom, y_off)).astype(
+                    jnp.uint32)
+            work = lax.psum(work + pending.astype(jnp.uint32), axis)
+            err = lax.pmax(err.astype(jnp.int32), axis)
+            nsweeps = lax.pmax(nsweeps, axis)
+            c_row = jnp.stack([c.nfacets_hi, c.nfacets_lo,
+                               c.ncollisions_hi, c.ncollisions_lo])[None, :]
+            return s, t[None, :], c_row, nsweeps, work, err
+
+        fn = shard_map(
+            shard_fn, mesh=self.device_mesh,
+            in_specs=(_state_spec(axis), P(axis, None)),
+            out_specs=(_state_spec(axis), P(axis, None), P(axis, None),
+                       P(), P(), P()),
+            check_vma=False)
+        return fn(state, tally_parts)
+
+    # ------------------------------------------------------------------
+    def step(self, tt: int):
+        self.profile.start()
+        mk = jnp.uint32(tt)
+        self.state, nprocessed = self._begin(self.state, mk)
+        nf = nc = nsweeps = 0
+        while True:
+            (self.state, self.tally_parts, c_rows, done, work,
+             err) = self._chunk(self.state, self.tally_parts, mk)
+            if int(err):
+                raise RuntimeError(
+                    "particle migration overflow: shard lane capacity "
+                    "exhausted (raise cap headroom)")
+            dnf, dnc = combine_count_rows(c_rows)
+            nf += dnf
+            nc += dnc
+            nsweeps += int(done)
+            if int(work) == 0:
+                break
+        jax.block_until_ready(self.tally_parts)
+        step_time = self.profile.stop(f"step{tt}")
+        m = driver_mod.StepMetrics(
+            step=tt, step_time=step_time, nfacets=nf, ncollisions=nc,
+            nprocessed=int(nprocessed), nsweeps=nsweeps)
+        self.step_metrics.append(m)
+        return m
+
+    # ------------------------------------------------------------------
+    @property
+    def tally(self) -> jnp.ndarray:
+        """Global (ny*nx,) tally assembled from the shard slabs."""
+        return self.tally_parts.reshape(-1)
+
+    def global_tally_sum(self) -> float:
+        return float(np.asarray(self.tally_parts, dtype=np.float64).sum())

@@ -199,9 +199,17 @@ def begin_timestep(state: ParticleState, mesh: Mesh2D, geom: Geometry,
 def event_sweep(state: ParticleState, tally: jnp.ndarray, mesh: Mesh2D,
                 geom: Geometry, scatter_tab: CrossSection,
                 absorb_tab: CrossSection, master_key,
-                inv_ntotal: float) -> tuple[ParticleState, jnp.ndarray,
-                                            jnp.ndarray, jnp.ndarray]:
+                inv_ntotal: float,
+                y_off_dyn=None) -> tuple[ParticleState, jnp.ndarray,
+                                         jnp.ndarray, jnp.ndarray]:
     """Advance every live particle through exactly one event.
+
+    `y_off_dyn` (traced int32 scalar) activates spatial-decomposition mode:
+    the tally is a shard-local slab of geom.ny rows starting at global row
+    y_off_dyn, and lanes outside the slab are frozen (not live) until the
+    chunk-boundary migration exchange moves them to their owner shard
+    (parallel/spatial.py).  With y_off_dyn=None (replicated-mesh modes) the
+    static geom offsets apply and no lane is ever out of slab.
 
     Returns (state', tally', nfacets_u32, ncollisions_u32).
     """
@@ -211,7 +219,11 @@ def event_sweep(state: ParticleState, tally: jnp.ndarray, mesh: Mesh2D,
 
     # ---- local material state (pure function of particle state) ----------
     lx = state.cellx - geom.x_off
-    ly = state.celly - geom.y_off
+    if y_off_dyn is None:
+        ly = state.celly - geom.y_off
+    else:
+        ly = state.celly - y_off_dyn
+        live = live & (ly >= 0) & (ly < geom.ny)
     flat_cell = jnp.clip(ly * geom.nx + lx, 0, geom.nx * geom.ny - 1)
     density = _density_of(state, mesh, geom)
     sig_s = scatter_tab.lookup(state.energy)
@@ -352,35 +364,48 @@ def event_sweep(state: ParticleState, tally: jnp.ndarray, mesh: Mesh2D,
     return new_state, tally, nfacets, ncollisions
 
 
+def working_mask(state: ParticleState, geom: Geometry, y_off_dyn=None):
+    """Lanes with events left to process on THIS shard this chunk."""
+    w = (~state.dead) & (state.dt_to_census > 0)
+    if y_off_dyn is not None:
+        ly = state.celly - y_off_dyn
+        w = w & (ly >= 0) & (ly < geom.ny)
+    return w
+
+
 @partial(jax.jit, static_argnames=("geom", "max_sweeps", "events_per_sweep"))
 def sweep_chunk(state: ParticleState, tally: jnp.ndarray,
                 counts: EventCounts, mesh: Mesh2D,
                 scatter_tab: CrossSection, absorb_tab: CrossSection,
                 geom: Geometry, master_key, inv_ntotal: float,
-                max_sweeps: int, events_per_sweep: int = 1):
+                max_sweeps: int, events_per_sweep: int = 1,
+                y_off_dyn=None):
     """Run up to `max_sweeps` event sweeps in ONE device dispatch.
 
     Bounding the while_loop per dispatch keeps each XLA execution short —
     long censuses (stream needs thousands of sweeps) are then host-chained
     chunks instead of one multi-minute device program, giving progress
     visibility and robustness against RPC deadlines on remote TPU links.
-    Returns (state, tally, counts, nsweeps_done, any_live).
+    In spatial mode (y_off_dyn set) lanes that leave the shard's slab
+    freeze and the chunk ends when only frozen lanes remain; the caller
+    migrates them.  Returns (state, tally, counts, nsweeps_done, any_live).
     """
     def cond(carry):
         s, _, _, it = carry
-        return jnp.any((~s.dead) & (s.dt_to_census > 0)) & (it < max_sweeps)
+        return jnp.any(working_mask(s, geom, y_off_dyn)) & (it < max_sweeps)
 
     def body(carry):
         s, t, c, it = carry
         for _ in range(events_per_sweep):
             s, t, nf, nc = event_sweep(s, t, mesh, geom, scatter_tab,
-                                       absorb_tab, master_key, inv_ntotal)
+                                       absorb_tab, master_key, inv_ntotal,
+                                       y_off_dyn=y_off_dyn)
             c = c.add(nf, nc)
         return (s, t, c, it + 1)
 
     carry = (state, tally, counts, jnp.zeros((), jnp.int32))
     state, tally, counts, nsweeps = lax.while_loop(cond, body, carry)
-    any_live = jnp.any((~state.dead) & (state.dt_to_census > 0))
+    any_live = jnp.any(working_mask(state, geom, y_off_dyn))
     return state, tally, counts, nsweeps * events_per_sweep, any_live
 
 

@@ -1,0 +1,76 @@
+"""Spatial decomposition tests: slab tallies + particle migration.
+
+The reference declared but never implemented cross-rank particle
+migration (send_and_mark_particle stub, SURVEY.md §2.10); these tests pin
+our implementation against the single-device engine: identical event
+counts (bitwise-identical histories) and tallies to accumulation-order
+rounding.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from neutral_tpu.config import SimConfig, SourceBox, ProblemRegion
+from neutral_tpu.driver import Simulation
+from neutral_tpu.parallel import SpatialSimulation
+from neutral_tpu.parallel.sharding import make_device_mesh
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def _run_pair(cfg, steps=2):
+    single = Simulation(cfg, quiet=True)
+    for tt in range(1, steps + 1):
+        single.step(tt)
+    spatial = SpatialSimulation(cfg, quiet=True)
+    for tt in range(1, steps + 1):
+        spatial.step(tt)
+    return single, spatial
+
+
+def test_spatial_matches_single_absorber():
+    cfg = SimConfig(nx=64, ny=64, dt=2e-7, niters=2, nparticles=2000,
+                    initial_energy=1.0e4,
+                    source=SourceBox(0.1, 0.1, 0.4, 0.4),
+                    problems=(ProblemRegion(1.0e2, 0.0, 0.0, 1.0, 1.0),
+                              ProblemRegion(1.0e4, 0.4, 0.4, 0.2, 0.2)),
+                    dtype="float64", tally_dtype="float64")
+    single, spatial = _run_pair(cfg)
+    for a, b in zip(single.step_metrics, spatial.step_metrics):
+        assert (a.nfacets, a.ncollisions, a.nprocessed) == \
+            (b.nfacets, b.ncollisions, b.nprocessed)
+    np.testing.assert_allclose(
+        np.asarray(single.tally, np.float64),
+        np.asarray(spatial.tally, np.float64).reshape(-1),
+        rtol=1e-12, atol=1e-300)
+
+
+def test_spatial_heavy_migration():
+    """Streaming problem: every particle crosses many slab boundaries."""
+    cfg = SimConfig(nx=64, ny=64, dt=2e-7, niters=2, nparticles=1500,
+                    initial_energy=1.0e6,
+                    source=SourceBox(0.4, 0.05, 0.2, 0.1),
+                    problems=(ProblemRegion(1.0e-2, 0.0, 0.0, 1.0, 1.0),),
+                    dtype="float64", tally_dtype="float64")
+    single, spatial = _run_pair(cfg)
+    for a, b in zip(single.step_metrics, spatial.step_metrics):
+        assert (a.nfacets, a.ncollisions) == (b.nfacets, b.ncollisions)
+    np.testing.assert_allclose(
+        np.asarray(single.tally, np.float64),
+        np.asarray(spatial.tally, np.float64).reshape(-1),
+        rtol=1e-12, atol=1e-300)
+    # migration actually happened: live lanes present beyond source shards
+    alive = ~np.asarray(spatial.state.dead)
+    per_shard = alive.reshape(spatial.nshards, spatial.cap).sum(axis=1)
+    assert (per_shard > 0).sum() >= 6
+
+
+def test_spatial_requires_divisible_mesh():
+    cfg = SimConfig(nx=64, ny=63, dt=1e-7, nparticles=100,
+                    initial_energy=1e4,
+                    source=SourceBox(0.1, 0.1, 0.4, 0.4),
+                    problems=(ProblemRegion(1.0, 0.0, 0.0, 1.0, 1.0),))
+    with pytest.raises(ValueError, match="divisible"):
+        SpatialSimulation(cfg, device_mesh=make_device_mesh(8))
