@@ -9,6 +9,19 @@ multi-chip scaling.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # Some hosts ship a TPU plugin that outranks the JAX_PLATFORMS env var
+    # in platform selection; honor an explicit request via the config API
+    # (must happen before the first device query).
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 from . import constants  # noqa: F401
 from .config import SimConfig, SourceBox, ProblemRegion, load_config  # noqa: F401
 from .mesh import Mesh2D, build_mesh  # noqa: F401

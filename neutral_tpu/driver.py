@@ -69,6 +69,43 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def load_cross_sections(cfg: SimConfig, dtype) -> tuple[CrossSection,
+                                                        CrossSection]:
+    """Cross-section tables: user `.cs` files if present, else regenerated.
+
+    Mirrors the reference's load of elastic_scatter.cs / capture.cs from
+    the working directory (neutral_data.c:119,173-178; filenames
+    neutral_data.h:30-31), looking in cwd then the deck's directory.  When
+    no files exist, the tables are regenerated from the published formula
+    (xs.make_resonance_table == reference resonance.py), which is
+    byte-equivalent data.  File-loaded tables that match the generated
+    quartic grid still get the analytic O(1)-index path; arbitrary user
+    tables fall back to searchsorted gathers.
+    """
+    import os
+
+    from .constants import CS_CAPTURE_FILENAME, CS_SCATTER_FILENAME
+
+    dirs = [os.getcwd()]
+    if cfg.params_path:
+        dirs.append(os.path.dirname(os.path.abspath(cfg.params_path)))
+    for d in dirs:
+        s_path = os.path.join(d, CS_SCATTER_FILENAME)
+        a_path = os.path.join(d, CS_CAPTURE_FILENAME)
+        if os.path.isfile(s_path) and os.path.isfile(a_path):
+            s = CrossSection.from_file(s_path, dtype=dtype)
+            a = CrossSection.from_file(a_path, dtype=dtype)
+            if cfg.fast_math and s.quartic:
+                s = CrossSection(s.keys, s.values, quartic=True,
+                                 analytic=True)
+            if cfg.fast_math and a.quartic:
+                a = CrossSection(a.keys, a.values, quartic=True,
+                                 analytic=True)
+            return s, a
+    s = CrossSection.resonance(dtype=dtype, analytic=cfg.fast_math)
+    return s, CrossSection.resonance(dtype=dtype, analytic=cfg.fast_math)
+
+
 def make_geometry(cfg: SimConfig) -> Geometry:
     """Geometry for a whole-domain (replicated-mesh) view of the problem.
 
@@ -120,10 +157,8 @@ class SimulationBase:
 
         self.mesh: Mesh2D = build_mesh(cfg, dtype=self.dtype)
         self.geom = make_geometry(cfg)
-        self.cs_scatter = CrossSection.resonance(dtype=self.dtype,
-                                                 analytic=cfg.fast_math)
-        self.cs_absorb = CrossSection.resonance(dtype=self.dtype,
-                                                analytic=cfg.fast_math)
+        self.cs_scatter, self.cs_absorb = load_cross_sections(
+            cfg, dtype=self.dtype)
         self.elapsed_sim_time = 0.0
         self.wallclock = 0.0
         self.profile = Profile()
