@@ -58,6 +58,8 @@ class SimConfig:
     fast_math: bool = True          # analytic xs/density/edge evaluation
                                     # (closed forms replace table gathers;
                                     # identical physics to float rounding)
+    engine: str = "auto"            # auto | xla | pallas (sweep backend;
+                                    # auto = pallas on TPU when fast_math)
 
     # Event-sweep tuning
     events_per_sweep: int = 1       # inner unrolled events per HBM round-trip

@@ -42,7 +42,8 @@ from .xs import CrossSection
 
 # Pad particle batches to a multiple of the VPU lane tile (8 sublanes x 128
 # lanes) so XLA never peels a ragged remainder.
-_LANE_PAD = 1024
+# multiple of the Pallas sweep block (32 rows x 128 lanes)
+_LANE_PAD = 4096
 
 
 def enable_compilation_cache() -> None:
@@ -153,6 +154,13 @@ class SimulationBase:
         # compacts adaptively, so treat 0 as "on" and -1 as "off".
         self.compact_enabled = cfg.compact_every >= 0
         self.compact_min = 8192         # smallest working-set capacity
+        self.k_events = 8               # fused events per Pallas kernel call
+        engine = getattr(cfg, "engine", "auto")
+        if engine == "auto":
+            self.use_pallas = bool(cfg.fast_math
+                                   and jax.default_backend() != "cpu")
+        else:
+            self.use_pallas = engine == "pallas"
         enable_compilation_cache()
 
         self.mesh: Mesh2D = build_mesh(cfg, dtype=self.dtype)
@@ -298,10 +306,17 @@ class Simulation(SimulationBase):
         The census is host-chained in bounded sweep chunks: each device
         dispatch runs at most `chunk_sweeps` event sweeps, so no single XLA
         execution is unboundedly long (robust over remote TPU links) and
-        long censuses show progress.
+        long censuses show progress.  On TPU with fast_math the chunks run
+        the fused Pallas kernel with caller-owned pending-flush rings
+        (pallas_sweep.py); otherwise the pure-XLA sweep.
         """
         from .particles import live_count, merge_compacted, select_working
         from .transport import EventCounts, begin_timestep, sweep_chunk
+
+        use_pallas = self.use_pallas
+        if use_pallas:
+            from .pallas_sweep import (drain_rings, make_rings,
+                                       pallas_sweep_chunk)
 
         self.profile.start()
         master_key = jnp.uint32(tt)
@@ -310,6 +325,7 @@ class Simulation(SimulationBase):
         nprocessed = jnp.count_nonzero(~full.dead)
         counts = EventCounts.zeros()
         nsweeps = 0
+        inv_ntotal = 1.0 / self.cfg.nparticles
 
         # Live-lane compaction: when most lanes have finished their census
         # (long-tail problems like csp), shrink the working set to the next
@@ -318,12 +334,21 @@ class Simulation(SimulationBase):
         # particles.select_working).
         part, sel = full, None
         min_cap = self.compact_min
+        if use_pallas:
+            rc, rv, rn = make_rings(part.n, self.tally.dtype)
         while True:
-            part, self.tally, counts, done, any_live = sweep_chunk(
-                part, self.tally, counts, self.mesh, self.cs_scatter,
-                self.cs_absorb, self.geom, master_key,
-                1.0 / self.cfg.nparticles, self.chunk_sweeps,
-                events_per_sweep=self.events_per_sweep)
+            if use_pallas:
+                (part, self.tally, counts, rc, rv, rn, done,
+                 any_live) = pallas_sweep_chunk(
+                    part, self.tally, counts, rc, rv, rn, self.cs_scatter,
+                    self.cs_absorb, self.geom, master_key, inv_ntotal,
+                    self.chunk_sweeps, k_events=self.k_events)
+            else:
+                part, self.tally, counts, done, any_live = sweep_chunk(
+                    part, self.tally, counts, self.mesh, self.cs_scatter,
+                    self.cs_absorb, self.geom, master_key, inv_ntotal,
+                    self.chunk_sweeps,
+                    events_per_sweep=self.events_per_sweep)
             nsweeps += int(done)
             if not bool(any_live):
                 break
@@ -335,11 +360,19 @@ class Simulation(SimulationBase):
                 # executable, so a gentler ladder would churn compiles for
                 # marginal bandwidth savings (cached across runs regardless).
                 if target <= cap // 4:
+                    if use_pallas:
+                        # Rings are lane-indexed: flush before reordering.
+                        self.tally, rc, rv, rn = drain_rings(
+                            self.tally, rc, rv, rn)
                     if sel is not None:
                         full = merge_compacted(full, part, sel)
                     else:
                         full = part
                     part, sel = select_working(full, target)
+                    if use_pallas:
+                        rc, rv, rn = make_rings(target, self.tally.dtype)
+        if use_pallas:
+            self.tally, rc, rv, rn = drain_rings(self.tally, rc, rv, rn)
         if sel is not None:
             full = merge_compacted(full, part, sel)
         else:
@@ -391,6 +424,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--backend", default="jax", choices=["jax", "native"],
                    help="jax = event-based XLA engine (default); "
                         "native = history-based C++/OpenMP host engine")
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "xla", "pallas"],
+                   help="sweep engine for the jax backend (auto = fused "
+                        "Pallas kernel on TPU when fast_math)")
     args = p.parse_args(argv)
 
     cfg = load_config(args.params)
@@ -403,6 +440,8 @@ def main(argv: list[str] | None = None) -> int:
                         ny=cfg.ny // args.mesh_scale, expected_tally=None)
     if args.dtype:
         cfg = cfg.with_(dtype=args.dtype, tally_dtype=args.dtype)
+    if args.engine != "auto":
+        cfg = cfg.with_(engine=args.engine)
 
     if args.backend == "native":
         return _run_native(cfg)

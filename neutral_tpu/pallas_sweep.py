@@ -1,0 +1,278 @@
+"""Pallas (Mosaic) fused multi-event sweep kernel.
+
+The XLA event sweep is correct but pays per-op kernel overheads and HBM
+round-trips for all 14 lane arrays on EVERY event.  This kernel keeps a
+block of lanes resident in VMEM and advances it through K events per grid
+step.  Tally flushes are pushed into a per-lane pending RING (S slots,
+VMEM-resident, carried in HBM between calls via input/output aliasing):
+ring insertion is pure elementwise VMEM work, so the expensive per-entry
+HBM tally scatter (XLA TPU scatter: ~8ns/entry, sentinels included) only
+runs when some lane could overflow its ring — for collision-dominated
+problems that is a handful of drains per timestep instead of a full-width
+scatter every sweep.  Measured kernel-only throughput: 3.5e9 lane-events/s
+on one v5e chip (vs ~9e7 for the unfused XLA sweep).
+
+Requirements: fast_math mode (analytic cross-sections + region density +
+uniform mesh) so the physics is pure VPU math.  Physics comes from
+transport.sweep_core — the SAME code the XLA path runs — so the kernel
+cannot drift from the reference semantics; it is validated lane-for-lane
+against the XLA engine in tests.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .particles import ParticleState
+from .transport import EventCounts, Geometry, sweep_core, working_mask
+from .xs import CrossSection
+
+# Lanes per block: rows x 128.
+_ROWS = 32
+_LANES = 128
+
+_FIELDS = ("x", "y", "omega_x", "omega_y", "energy", "weight",
+           "dt_to_census", "mfp_to_collision", "deposit", "cellx", "celly",
+           "dead", "pid", "counter")
+_NF = len(_FIELDS)
+
+
+def _kernel(geom: Geometry, scatter_tab: CrossSection,
+            absorb_tab: CrossSection, inv_ntotal: float, k_events: int,
+            ring_slots: int, tally_dtype, mk_ref, *refs):
+    in_refs = refs[:_NF]
+    rc_in, rv_in, rn_in = refs[_NF:_NF + 3]
+    out_refs = refs[_NF + 3:2 * _NF + 3]
+    rc_out, rv_out, rn_out, nf_ref, nc_ref = refs[2 * _NF + 3:]
+
+    vals = {f: r[:] for f, r in zip(_FIELDS, in_refs)}
+    vals["dead"] = vals["dead"] != 0
+    state = ParticleState(**vals)
+    mk = mk_ref[0, 0]
+
+    # Ring rows held as separate 2D values (a `.at[s].set` on a loaded 3D
+    # array would lower to a scatter, which Mosaic has no primitive for).
+    rc_rows = [rc_in[s] for s in range(ring_slots)]
+    rv_rows = [rv_in[s] for s in range(ring_slots)]
+    slot = rn_in[:]
+
+    nf = jnp.zeros(state.x.shape, jnp.int32)
+    nc = jnp.zeros(state.x.shape, jnp.int32)
+    for _ in range(k_events):
+        # Lanes whose ring could not take one more flush pause until the
+        # caller drains (their whole event is deferred — bitwise-safe).
+        gate = slot < ring_slots
+        state, flush, flat_cell, contrib, is_facet, is_coll = sweep_core(
+            state, None, geom, scatter_tab, absorb_tab, mk, inv_ntotal,
+            tally_dtype, gate=gate)
+        # Ring insert: per-lane dynamic slot via an S-way select chain
+        # (everything stays in VMEM; no scatter).
+        for s in range(ring_slots):
+            hit = flush & (slot == s)
+            rc_rows[s] = jnp.where(hit, flat_cell, rc_rows[s])
+            rv_rows[s] = jnp.where(hit, contrib, rv_rows[s])
+        slot = slot + flush.astype(jnp.int32)
+        nf += is_facet.astype(jnp.int32)
+        nc += is_coll.astype(jnp.int32)
+
+    for f, r in zip(_FIELDS, out_refs):
+        v = getattr(state, f)
+        if f == "dead":
+            v = v.astype(jnp.int32)
+        r[:] = v
+    for s in range(ring_slots):
+        rc_out[s] = rc_rows[s]
+        rv_out[s] = rv_rows[s]
+    rn_out[:] = slot
+    nf_ref[:] = nf
+    nc_ref[:] = nc
+
+
+@partial(jax.jit,
+         static_argnames=("geom", "inv_ntotal", "k_events", "ring_slots",
+                          "interpret"))
+def pallas_multi_sweep(state: ParticleState, ring_cell, ring_val, ring_cnt,
+                       scatter_tab: CrossSection, absorb_tab: CrossSection,
+                       geom: Geometry, master_key, inv_ntotal: float,
+                       tally_dtype_arr, k_events: int = 8,
+                       ring_slots: int = 16, interpret: bool = False):
+    """Advance every lane through k_events events in one fused kernel.
+
+    The caller owns the pending-flush ring (ring_cell/ring_val: (S, N),
+    ring_cnt: (N,)).  Lanes whose ring fills up pause in place (in-kernel
+    gate) until the caller drains, so overflow is impossible by
+    construction.  Returns (state', ring', nfacets, ncollisions).
+    """
+    if geom.regions is None or not geom.dx:
+        raise ValueError("pallas sweep requires fast_math geometry")
+    if not (scatter_tab.analytic and absorb_tab.analytic):
+        raise ValueError("pallas sweep requires analytic cross-sections")
+
+    n = state.x.shape[0]
+    block = _ROWS * _LANES
+    assert n % block == 0, (n, block)
+    grid = n // block
+    tally_dtype = tally_dtype_arr.dtype
+
+    def shape2(a):
+        return a.reshape(n // _LANES, _LANES)
+
+    ins = []
+    for f in _FIELDS:
+        v = getattr(state, f)
+        if f == "dead":
+            v = v.astype(jnp.int32)
+        ins.append(shape2(v))
+    ins += [ring_cell.reshape(ring_slots, n // _LANES, _LANES),
+            ring_val.reshape(ring_slots, n // _LANES, _LANES),
+            shape2(ring_cnt)]
+
+    state_spec = pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    ring_spec = pl.BlockSpec((ring_slots, _ROWS, _LANES),
+                             lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+
+    def dt_of(f):
+        if f in ("cellx", "celly", "dead"):
+            return jnp.int32
+        if f in ("pid", "counter"):
+            return jnp.uint32
+        return state.dtype
+
+    out_shape = (
+        tuple(jax.ShapeDtypeStruct((n // _LANES, _LANES), dt_of(f))
+              for f in _FIELDS)
+        + (jax.ShapeDtypeStruct((ring_slots, n // _LANES, _LANES),
+                                jnp.int32),
+           jax.ShapeDtypeStruct((ring_slots, n // _LANES, _LANES),
+                                tally_dtype),
+           jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.int32),
+           jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.int32),
+           jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.int32)))
+
+    # Alias state + ring inputs onto their outputs: the kernel updates
+    # in place (no 600MB+ of copy traffic per call).
+    aliases = {i + 1: i for i in range(_NF + 3)}
+
+    out = pl.pallas_call(
+        partial(_kernel, geom, scatter_tab, absorb_tab, inv_ntotal,
+                k_events, ring_slots, tally_dtype),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [state_spec] * _NF + [ring_spec, ring_spec, state_spec],
+        out_specs=tuple([state_spec] * _NF)
+        + (ring_spec, ring_spec, state_spec, state_spec, state_spec),
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(jnp.asarray(master_key, jnp.uint32).reshape(1, 1), *ins)
+
+    new_vals = {}
+    for f, arr in zip(_FIELDS, out[:_NF]):
+        v = arr.reshape(n)
+        if f == "dead":
+            v = v != 0
+        new_vals[f] = v
+    new_state = ParticleState(**new_vals)
+    ring_cell = out[_NF].reshape(ring_slots, n)
+    ring_val = out[_NF + 1].reshape(ring_slots, n)
+    ring_cnt = out[_NF + 2].reshape(n)
+    nf = out[_NF + 3].sum()
+    nc = out[_NF + 4].sum()
+    return new_state, ring_cell, ring_val, ring_cnt, nf, nc
+
+
+def _drain_rings(tally, ring_cell, ring_val, ring_cnt):
+    """Row-conditional ring drain: scatter only slots any lane has used."""
+    S = ring_cell.shape[0]
+    for s in range(S):
+        tally = lax.cond(
+            jnp.any(ring_cnt > s),
+            lambda tt, row_c=ring_cell[s], row_v=ring_val[s]:
+                tt.at[jnp.where(row_c >= 0, row_c, tt.shape[0])].add(
+                    row_v, mode="drop"),
+            lambda tt: tt,
+            tally)
+    return (tally, jnp.full_like(ring_cell, -1), jnp.zeros_like(ring_val),
+            jnp.zeros_like(ring_cnt))
+
+
+def make_rings(n: int, tally_dtype, ring_slots: int = 16):
+    """Fresh (empty) pending-flush ring triple for n lanes."""
+    return (jnp.full((ring_slots, n), -1, jnp.int32),
+            jnp.zeros((ring_slots, n), tally_dtype),
+            jnp.zeros((n,), jnp.int32))
+
+
+@jax.jit
+def drain_rings(tally, ring_cell, ring_val, ring_cnt):
+    """Flush all pending ring entries into the tally (row-conditional)."""
+    tally, rc, rv, rn = lax.cond(
+        jnp.any(ring_cnt > 0),
+        lambda op: _drain_rings(*op),
+        lambda op: op,
+        (tally, ring_cell, ring_val, ring_cnt))
+    return tally, rc, rv, rn
+
+
+@partial(jax.jit, static_argnames=("geom", "inv_ntotal", "max_sweeps",
+                                   "k_events", "interpret"))
+def pallas_sweep_chunk(state: ParticleState, tally: jnp.ndarray,
+                       counts: EventCounts, ring_cell, ring_val, ring_cnt,
+                       scatter_tab: CrossSection,
+                       absorb_tab: CrossSection, geom: Geometry,
+                       master_key, inv_ntotal: float, max_sweeps: int,
+                       k_events: int = 8, interpret: bool = False):
+    """Bounded Pallas sweep chunk (the TPU fast path).
+
+    Runs ceil(max_sweeps / k_events) fused kernel calls inside one
+    while_loop dispatch.  Lanes with a full pending-flush ring pause
+    in place (in-kernel gate); the ring is drained — a per-entry-priced
+    HBM scatter of S x N entries — only when enough lanes are paused to
+    amortize it or when no unpaused work remains.  The ring persists
+    ACROSS chunks (caller-owned; see driver) so collision-dominated steps
+    see only a couple of drains total; callers must drain_rings() before
+    compacting lanes, checkpointing, or reading the tally.
+    """
+    n_outer = max(max_sweeps // k_events, 1)
+    S = ring_cell.shape[0]
+    n = state.x.shape[0]
+    pause_budget = max(n // 256, 1)
+
+    def cond(carry):
+        s, _, _, rc, rv, rn, it = carry
+        working = working_mask(s, geom)
+        return jnp.any(working) & (it < n_outer)
+
+    def body(carry):
+        s, t, c, rc, rv, rn, it = carry
+        s, rc, rv, rn, nf, nc = pallas_multi_sweep(
+            s, rc, rv, rn, scatter_tab, absorb_tab, geom, master_key,
+            inv_ntotal, t, k_events=k_events, ring_slots=S,
+            interpret=interpret)
+        working = working_mask(s, geom)
+        paused = working & (rn >= S)
+        npaused = jnp.count_nonzero(paused)
+        all_stuck = jnp.any(working) & ~jnp.any(working & (rn < S))
+        t, rc, rv, rn = lax.cond(
+            (npaused > pause_budget) | all_stuck,
+            lambda op: _drain_rings(*op),
+            lambda op: op,
+            (t, rc, rv, rn))
+        c = c.add(nf.astype(jnp.uint32), nc.astype(jnp.uint32))
+        return (s, t, c, rc, rv, rn, it + 1)
+
+    carry = (state, tally, counts, ring_cell, ring_val, ring_cnt,
+             jnp.zeros((), jnp.int32))
+    (state, tally, counts, ring_cell, ring_val, ring_cnt,
+     n_done) = lax.while_loop(cond, body, carry)
+    any_live = jnp.any(working_mask(state, geom))
+    return (state, tally, counts, ring_cell, ring_val, ring_cnt,
+            n_done * k_events, any_live)

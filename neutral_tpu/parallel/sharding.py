@@ -203,7 +203,7 @@ class ShardedSimulation(driver_mod.SimulationBase):
         # of any particle (reproducibility across topologies).
         n = cfg.nparticles
         per_shard = -(-n // nshards)
-        per_shard = ((per_shard + 1023) // 1024) * 1024
+        per_shard = ((per_shard + 4095) // 4096) * 4096
         total = per_shard * nshards
         state = inject_particles(
             self.mesh2d, nparticles=n,

@@ -163,7 +163,15 @@ def uniform2_f32(pkey, master_key, counter):
     v0h, _, v1h, _ = raw_draw(pkey, master_key, counter)
 
     def conv(hi):
-        return hi.astype(jnp.float32) * np.float32(_FACTOR32_HI) + np.float32(
+        # u32 -> f32 via 16-bit halves: both halves are exact in f32 and
+        # the single rounding of their sum equals a direct round-nearest
+        # u32 cast bit-for-bit — but uses only i32->f32 casts, which is
+        # what Mosaic (Pallas TPU) supports.
+        hi_top = (hi >> np.uint32(16)).astype(jnp.int32).astype(jnp.float32)
+        hi_low = (hi & np.uint32(0xFFFF)).astype(jnp.int32).astype(
+            jnp.float32)
+        as_f32 = hi_top * np.float32(65536.0) + hi_low
+        return as_f32 * np.float32(_FACTOR32_HI) + np.float32(
             np.ldexp(1.0, -33))
 
     return conv(v0h), conv(v1h)

@@ -112,6 +112,20 @@ jax.tree_util.register_pytree_node(
     lambda aux, ch: EventCounts(*ch))
 
 
+
+def _c(v, dtype):
+    """Scalar literal of the given dtype (numpy scalar).
+
+    Inside Pallas kernels, `jnp.asarray(v, dtype)` materializes a captured
+    array constant (rejected by pallas_call); numpy scalars inline as
+    jaxpr literals in both XLA and Mosaic tracing.  Traced values pass
+    through with a cast (only the Pallas path requires true literals, and
+    it passes Python scalars).
+    """
+    if isinstance(v, (bool, int, float, np.generic)):
+        return np.dtype(dtype).type(v)
+    return jnp.asarray(v, dtype)
+
 def _macroscopic(density, sig):
     return density * _INV_MOLAR * sig * BARNS
 
@@ -124,7 +138,7 @@ def _density_of(state: ParticleState, mesh: Mesh2D, geom: Geometry):
         for (ix0, ix1, iy0, iy1, d) in geom.regions:
             inside = ((state.cellx >= ix0) & (state.cellx < ix1) &
                       (state.celly >= iy0) & (state.celly < iy1))
-            density = jnp.where(inside, jnp.asarray(d, dtype), density)
+            density = jnp.where(inside, _c(d, dtype), density)
         return density
     lx = state.cellx - geom.x_off
     ly = state.celly - geom.y_off
@@ -136,8 +150,8 @@ def _facet_edges(state: ParticleState, mesh: Mesh2D, geom: Geometry):
     """(ex_lo, ex_hi, ey_lo, ey_hi) bounding edges of each particle's cell."""
     if geom.dx:
         dtype = state.dtype
-        dx = jnp.asarray(geom.dx, dtype)
-        dy = jnp.asarray(geom.dy, dtype)
+        dx = _c(geom.dx, dtype)
+        dy = _c(geom.dy, dtype)
         cx = state.cellx.astype(dtype)
         cy = state.celly.astype(dtype)
         return cx * dx, (cx + 1.0) * dx, cy * dy, (cy + 1.0) * dy
@@ -149,7 +163,7 @@ def _facet_edges(state: ParticleState, mesh: Mesh2D, geom: Geometry):
 
 
 def _speed_of(energy):
-    return jnp.sqrt(jnp.asarray(_SPEED_COEF, energy.dtype) * energy)
+    return jnp.sqrt(_c(_SPEED_COEF, energy.dtype) * energy)
 
 
 def _heating_response(energy, sig_a, sig_t):
@@ -159,7 +173,7 @@ def _heating_response(energy, sig_a, sig_t):
     average absorption exit energy is 0, so only the scattering term remains.
     """
     absorb_frac = sig_a / sig_t
-    avg_exit_scatter = energy * jnp.asarray(_AVG_SCATTER_FRAC, energy.dtype)
+    avg_exit_scatter = energy * _c(_AVG_SCATTER_FRAC, energy.dtype)
     return energy - (1.0 - absorb_frac) * avg_exit_scatter
 
 
@@ -213,9 +227,46 @@ def event_sweep(state: ParticleState, tally: jnp.ndarray, mesh: Mesh2D,
 
     Returns (state', tally', nfacets_u32, ncollisions_u32).
     """
+    state, flush, flat_cell, contrib, is_facet, is_coll = sweep_core(
+        state, mesh, geom, scatter_tab, absorb_tab, master_key, inv_ntotal,
+        tally.dtype, y_off_dyn=y_off_dyn)
+
+    # ---- tally flush (reference flush sites: omp3/neutral.c:248-250,
+    # 325-327, 400-402; scatter-add replaces the reference's atomics).
+    # Collision-dominated sweeps often have ZERO flushing lanes (collisions
+    # don't flush), and XLA's TPU scatter costs the same whether or not
+    # values are zero — so the whole scatter is skipped when nothing
+    # flushes.
+    tally = lax.cond(
+        jnp.any(flush),
+        lambda t: t.at[flat_cell].add(contrib, mode="promise_in_bounds"),
+        lambda t: t,
+        tally)
+
+    nfacets = jnp.count_nonzero(is_facet).astype(jnp.uint32)
+    ncollisions = jnp.count_nonzero(is_coll).astype(jnp.uint32)
+    return state, tally, nfacets, ncollisions
+
+
+def sweep_core(state: ParticleState, mesh, geom: Geometry,
+               scatter_tab: CrossSection, absorb_tab: CrossSection,
+               master_key, inv_ntotal: float, tally_dtype,
+               y_off_dyn=None, gate=None):
+    """One event per live lane — pure math, no tally scatter.
+
+    Shape-agnostic over the lane arrays (works on (N,) in XLA-land and on
+    (rows, 128) VMEM tiles inside the Pallas kernel — pallas_sweep.py).
+    `gate` (optional bool mask) pauses lanes externally — e.g. lanes whose
+    pending-flush ring is full; paused lanes are bitwise-frozen, exactly
+    like out-of-slab lanes in spatial mode.
+    Returns (state', flush_mask, flat_cell, tally_contrib, is_facet,
+    is_coll); the caller owns the tally update and count reductions.
+    """
     dtype = state.dtype
-    zero = jnp.zeros((), dtype)
+    zero = _c(0.0, dtype)
     live = (~state.dead) & (state.dt_to_census > zero)
+    if gate is not None:
+        live = live & gate
 
     # ---- local material state (pure function of particle state) ----------
     lx = state.cellx - geom.x_off
@@ -229,16 +280,16 @@ def event_sweep(state: ParticleState, tally: jnp.ndarray, mesh: Mesh2D,
     sig_s = scatter_tab.lookup(state.energy)
     sig_a = absorb_tab.lookup(state.energy)
     sig_t = sig_s + sig_a
-    number_density = density * jnp.asarray(_INV_MOLAR, dtype)
-    mac_s = number_density * sig_s * jnp.asarray(BARNS, dtype)
-    mac_a = number_density * sig_a * jnp.asarray(BARNS, dtype)
+    number_density = density * _c(_INV_MOLAR, dtype)
+    mac_s = number_density * sig_s * _c(BARNS, dtype)
+    mac_a = number_density * sig_a * _c(BARNS, dtype)
     mac_t = mac_s + mac_a
     cell_mfp = 1.0 / mac_t
     speed = _speed_of(state.energy)
 
     # ---- three candidate distances (reference: omp3/neutral.c:423-471) ----
     ex_lo, ex_hi, ey_lo, ey_hi = _facet_edges(state, mesh, geom)
-    obc = jnp.asarray(OPEN_BOUND_CORRECTION, dtype)
+    obc = _c(OPEN_BOUND_CORRECTION, dtype)
     u_x_inv = 1.0 / (state.omega_x * speed)
     u_y_inv = 1.0 / (state.omega_y * speed)
     dt_x = jnp.where(state.omega_x >= zero,
@@ -260,7 +311,7 @@ def event_sweep(state: ParticleState, tally: jnp.ndarray, mesh: Mesh2D,
     dist = jnp.where(is_coll, d_coll, jnp.where(is_facet, d_facet, d_census))
 
     # ---- segment energy deposition (pre-event state) ----------------------
-    ed = (state.weight * dist * (sig_t * jnp.asarray(BARNS, dtype))
+    ed = (state.weight * dist * (sig_t * _c(BARNS, dtype))
           * _heating_response(state.energy, sig_a, sig_t) * number_density)
     deposit = state.deposit + jnp.where(live, ed, zero)
 
@@ -275,9 +326,9 @@ def event_sweep(state: ParticleState, tally: jnp.ndarray, mesh: Mesh2D,
     weight = jnp.where(is_coll & absorbed,
                        state.weight * (1.0 - p_absorb), state.weight)
     died = is_coll & absorbed & (state.energy
-                                 < jnp.asarray(MIN_ENERGY_OF_INTEREST, dtype))
+                                 < _c(MIN_ENERGY_OF_INTEREST, dtype))
 
-    a = jnp.asarray(_A, dtype)
+    a = _c(_A, dtype)
     mu_cm = 1.0 - 2.0 * rn1b
     e_new = state.energy * (a * a + 2.0 * a * mu_cm + 1.0) / ((a + 1.0)
                                                               * (a + 1.0))
@@ -298,7 +349,7 @@ def event_sweep(state: ParticleState, tally: jnp.ndarray, mesh: Mesh2D,
     # Re-sample mean free paths for surviving collisions, using the
     # post-collision energy's scattering cross-section in the same cell.
     sig_s2 = scatter_tab.lookup(energy)
-    mac_s2 = number_density * sig_s2 * jnp.asarray(BARNS, dtype)
+    mac_s2 = number_density * sig_s2 * _c(BARNS, dtype)
     rn2a, _ = rng.uniform2(state.pid, master_key, counter, dtype)
     coll_alive = is_coll & (~died)
     counter = counter + coll_alive.astype(jnp.uint32)
@@ -316,19 +367,9 @@ def event_sweep(state: ParticleState, tally: jnp.ndarray, mesh: Mesh2D,
     dt_to_census = jnp.where(is_census, zero, dt_to_census)
 
     # ---- tally flush: leaving a cell, dying, or reaching census ------------
-    # (reference flush sites: omp3/neutral.c:248-250, 325-327, 400-402;
-    # scatter-add replaces the reference's atomics.)  Collision-dominated
-    # sweeps often have ZERO flushing lanes (collisions don't flush), and
-    # XLA's TPU scatter costs ~10ms per 1M lanes whether or not values are
-    # zero — so the whole scatter is skipped when nothing flushes.
     flush = is_facet | is_census | died
-    contrib = jnp.where(flush, deposit, zero).astype(tally.dtype)
-    contrib = contrib * jnp.asarray(inv_ntotal, tally.dtype)
-    tally = lax.cond(
-        jnp.any(flush),
-        lambda t: t.at[flat_cell].add(contrib, mode="promise_in_bounds"),
-        lambda t: t,
-        tally)
+    contrib = jnp.where(flush, deposit, zero).astype(tally_dtype)
+    contrib = contrib * _c(inv_ntotal, tally_dtype)
     deposit = jnp.where(flush, zero, deposit)
 
     # ---- facet cell transition / boundary reflection ------------------------
@@ -353,15 +394,12 @@ def event_sweep(state: ParticleState, tally: jnp.ndarray, mesh: Mesh2D,
 
     dead = state.dead | died
 
-    nfacets = jnp.count_nonzero(is_facet).astype(jnp.uint32)
-    ncollisions = jnp.count_nonzero(is_coll).astype(jnp.uint32)
-
     new_state = ParticleState(
         x=x, y=y, omega_x=omega_x, omega_y=omega_y, energy=energy,
         weight=weight, dt_to_census=dt_to_census, mfp_to_collision=mfp,
         deposit=deposit, cellx=cellx, celly=celly, dead=dead,
         pid=state.pid, counter=counter)
-    return new_state, tally, nfacets, ncollisions
+    return new_state, flush, flat_cell, contrib, is_facet, is_coll
 
 
 def working_mask(state: ParticleState, geom: Geometry, y_off_dyn=None):

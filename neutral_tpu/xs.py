@@ -127,22 +127,25 @@ class CrossSection:
     # -- closed-form grid evaluation (analytic mode) -------------------
     def _key_at(self, i, dtype):
         """keys[i] from the generating formula: 1e8*((i+1)/M)^4 + 1e-2."""
-        M = jnp.asarray(float(self.nentries), dtype)
-        t = (i.astype(dtype) + 1.0) / M
+        M = np.dtype(dtype).type(float(self.nentries))
+        t = (i.astype(dtype) + np.dtype(dtype).type(1.0)) / M
         t2 = t * t
-        return 1.0e8 * (t2 * t2) + 1.0e-2
+        return np.dtype(dtype).type(1.0e8) * (t2 * t2) \
+            + np.dtype(dtype).type(1.0e-2)
 
     def _val_at(self, i, dtype):
         """values[i] from the formula: 1e3*(M - i)/M + 1."""
-        M = jnp.asarray(float(self.nentries), dtype)
-        return 1.0e3 * ((M - i.astype(dtype)) / M) + 1.0
+        ty = np.dtype(dtype).type
+        M = ty(float(self.nentries))
+        return ty(1.0e3) * ((M - i.astype(dtype)) / M) + ty(1.0)
 
     def _analytic_index(self, energy: jnp.ndarray) -> jnp.ndarray:
         """lookup_index without the one-off nudge gathers."""
         n = self.nentries
         dtype = energy.dtype
-        N = jnp.asarray(float(n), dtype)
-        u = jnp.sqrt(jnp.sqrt((energy - 1.0e-2) * 1.0e-8))
+        ty = np.dtype(dtype).type
+        N = ty(float(n))
+        u = jnp.sqrt(jnp.sqrt((energy - ty(1.0e-2)) * ty(1.0e-8)))
         idx = jnp.floor(u * N).astype(jnp.int32) - 1
         idx = jnp.clip(idx, 0, n - 2)
         idx = jnp.where(energy < self._key_at(idx, dtype), idx - 1, idx)
