@@ -160,6 +160,70 @@ def sweep_chunk_sharded(state: ParticleState, tally_parts: jnp.ndarray,
     return fn(state, tally_parts, mesh2d, scatter_tab, absorb_tab)
 
 
+@partial(jax.jit,
+         static_argnames=("geom", "inv_ntotal", "mesh_axes", "max_sweeps",
+                          "k_events"))
+def pallas_sweep_chunk_sharded(state: ParticleState, tally_parts,
+                               ring_cell, ring_val, ring_cnt,
+                               scatter_tab: CrossSection,
+                               absorb_tab: CrossSection, geom: Geometry,
+                               master_key, inv_ntotal: float,
+                               mesh_axes: Mesh, max_sweeps: int,
+                               k_events: int = 8):
+    """Fused-Pallas sweep chunk over the device mesh (TPU multi-chip path).
+
+    Each shard runs the same pallas_sweep_chunk as the single-chip driver
+    on its particle slab and private tally row; pending-flush rings are
+    sharded alongside the lanes and persist across chunks (the caller
+    drains via drain_rings_sharded before compaction/step end).
+    """
+    from ..pallas_sweep import pallas_sweep_chunk
+    from ..transport import EventCounts
+
+    axis = mesh_axes.axis_names[0]
+    pspec = _state_spec(axis)
+
+    def shard_fn(s, t_row, rc, rv, rn):
+        (s, t, c, rc, rv, rn, done, live) = pallas_sweep_chunk(
+            s, t_row[0], EventCounts.zeros(), rc, rv, rn, scatter_tab,
+            absorb_tab, geom, master_key, inv_ntotal, max_sweeps,
+            k_events=k_events)
+        live = jax.lax.pmax(live.astype(jnp.int32), axis)
+        done = jax.lax.pmax(done, axis)
+        c_row = jnp.stack([c.nfacets_hi, c.nfacets_lo,
+                           c.ncollisions_hi, c.ncollisions_lo])[None, :]
+        return s, t[None, :], c_row, rc, rv, rn, done, live
+
+    fn = shard_map(
+        shard_fn, mesh=mesh_axes,
+        in_specs=(pspec, P(axis, None), P(None, axis), P(None, axis),
+                  P(axis)),
+        out_specs=(pspec, P(axis, None), P(axis, None), P(None, axis),
+                   P(None, axis), P(axis), P(), P()),
+        check_vma=False)
+    return fn(state, tally_parts, ring_cell, ring_val, ring_cnt)
+
+
+@partial(jax.jit, static_argnames=("mesh_axes",))
+def drain_rings_sharded(tally_parts, ring_cell, ring_val, ring_cnt,
+                        mesh_axes: Mesh):
+    """Flush every shard's pending ring into its private tally row."""
+    from ..pallas_sweep import drain_rings
+
+    axis = mesh_axes.axis_names[0]
+
+    def shard_fn(t_row, rc, rv, rn):
+        t, rc, rv, rn = drain_rings(t_row[0], rc, rv, rn)
+        return t[None, :], rc, rv, rn
+
+    fn = shard_map(
+        shard_fn, mesh=mesh_axes,
+        in_specs=(P(axis, None), P(None, axis), P(None, axis), P(axis)),
+        out_specs=(P(axis, None), P(None, axis), P(None, axis), P(axis)),
+        check_vma=False)
+    return fn(tally_parts, ring_cell, ring_val, ring_cnt)
+
+
 def combine_count_rows(c_rows) -> tuple[int, int]:
     """(nshards, 4) u32 [hi_f, lo_f, hi_c, lo_c] rows -> (nfacets, ncoll)."""
     import numpy as np
@@ -231,19 +295,46 @@ class ShardedSimulation(driver_mod.SimulationBase):
             self.cfg.dt, master_key, self.device_mesh)
         nf = nc = 0
         nsweeps = 0
-        while True:
-            (self.state, self.tally_parts, c_rows, done,
-             any_live) = sweep_chunk_sharded(
-                self.state, self.tally_parts, self.mesh2d, self.cs_scatter,
-                self.cs_absorb, self.geom, master_key,
-                1.0 / self.cfg.nparticles, self.device_mesh,
-                self.chunk_sweeps, events_per_sweep=self.events_per_sweep)
-            dnf, dnc = combine_count_rows(c_rows)
-            nf += dnf
-            nc += dnc
-            nsweeps += int(done)
-            if not bool(any_live):
-                break
+        inv_ntotal = 1.0 / self.cfg.nparticles
+
+        if self.use_pallas:
+            S = 16
+            total = self.state.x.shape[0]
+            col = NamedSharding(self.device_mesh, P(None, self.axis))
+            lane = NamedSharding(self.device_mesh, P(self.axis))
+            rc = jax.device_put(jnp.full((S, total), -1, jnp.int32), col)
+            rv = jax.device_put(
+                jnp.zeros((S, total), self.tally_parts.dtype), col)
+            rn = jax.device_put(jnp.zeros((total,), jnp.int32), lane)
+            while True:
+                (self.state, self.tally_parts, c_rows, rc, rv, rn, done,
+                 any_live) = pallas_sweep_chunk_sharded(
+                    self.state, self.tally_parts, rc, rv, rn,
+                    self.cs_scatter, self.cs_absorb, self.geom, master_key,
+                    inv_ntotal, self.device_mesh, self.chunk_sweeps,
+                    k_events=self.k_events)
+                dnf, dnc = combine_count_rows(c_rows)
+                nf += dnf
+                nc += dnc
+                nsweeps += int(done)
+                if not bool(any_live):
+                    break
+            (self.tally_parts, rc, rv, rn) = drain_rings_sharded(
+                self.tally_parts, rc, rv, rn, self.device_mesh)
+        else:
+            while True:
+                (self.state, self.tally_parts, c_rows, done,
+                 any_live) = sweep_chunk_sharded(
+                    self.state, self.tally_parts, self.mesh2d,
+                    self.cs_scatter, self.cs_absorb, self.geom, master_key,
+                    inv_ntotal, self.device_mesh, self.chunk_sweeps,
+                    events_per_sweep=self.events_per_sweep)
+                dnf, dnc = combine_count_rows(c_rows)
+                nf += dnf
+                nc += dnc
+                nsweeps += int(done)
+                if not bool(any_live):
+                    break
         jax.block_until_ready(self.tally_parts)
         step_time = self.profile.stop(f"step{tt}")
         m = driver_mod.StepMetrics(
