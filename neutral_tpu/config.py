@@ -60,6 +60,7 @@ class SimConfig:
                                     # identical physics to float rounding)
     engine: str = "auto"            # auto | xla | pallas (sweep backend;
                                     # auto = pallas on TPU when fast_math)
+    rng: str = "threefry"           # threefry | pcg64si (stream scheme)
 
     # Event-sweep tuning
     events_per_sweep: int = 1       # inner unrolled events per HBM round-trip
@@ -123,6 +124,7 @@ def load_config(problem_path: str) -> SimConfig:
         source=source,
         problems=tuple(problems),
         visit_dump=bool(pf.get_int("visit_dump", 0)),
+        rng=pf.get_string("rng", "threefry"),
         expected_tally=expected,
         params_path=problem_path,
     )

@@ -119,8 +119,10 @@ def make_geometry(cfg: SimConfig) -> Geometry:
         return Geometry(global_nx=cfg.nx, global_ny=cfg.ny,
                         nx=cfg.nx, ny=cfg.ny,
                         dx=cfg.width / cfg.nx, dy=cfg.height / cfg.ny,
-                        regions=region_cell_bounds(cfg))
-    return Geometry(global_nx=cfg.nx, global_ny=cfg.ny, nx=cfg.nx, ny=cfg.ny)
+                        regions=region_cell_bounds(cfg),
+                        rng_scheme=cfg.rng)
+    return Geometry(global_nx=cfg.nx, global_ny=cfg.ny, nx=cfg.nx, ny=cfg.ny,
+                    rng_scheme=cfg.rng)
 
 
 @dataclass
@@ -295,6 +297,7 @@ class Simulation(SimulationBase):
             dt=cfg.dt,
             dtype=self.dtype,
             pad_to=_round_up(n, _LANE_PAD),
+            rng_scheme=cfg.rng,
         )
         self.tally = jnp.zeros(cfg.nx * cfg.ny,
                                dtype=jnp.dtype(cfg.tally_dtype))

@@ -276,7 +276,7 @@ class ShardedSimulation(driver_mod.SimulationBase):
             source_width=cfg.source.width * cfg.width,
             source_height=cfg.source.height * cfg.height,
             initial_energy=cfg.initial_energy, dt=cfg.dt,
-            dtype=self.dtype, pad_to=total)
+            dtype=self.dtype, pad_to=total, rng_scheme=cfg.rng)
 
         shard_sharding = NamedSharding(self.device_mesh, P(self.axis))
         self.state = jax.tree_util.tree_map(

@@ -176,7 +176,8 @@ class SpatialSimulation(driver_mod.SimulationBase):
             source_y0=cfg.source.ypos * cfg.height,
             source_width=cfg.source.width * cfg.width,
             source_height=cfg.source.height * cfg.height,
-            initial_energy=cfg.initial_energy, dt=cfg.dt, dtype=self.dtype)
+            initial_energy=cfg.initial_energy, dt=cfg.dt,
+            dtype=self.dtype, rng_scheme=cfg.rng)
 
         owner = np.clip(np.asarray(state.celly) // self.rows, 0, nshards - 1)
         peak = int(np.bincount(owner, minlength=nshards).max())

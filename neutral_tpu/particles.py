@@ -102,7 +102,8 @@ def inject_particles(mesh: Mesh2D, *, nparticles: int, source_x0: float,
                      source_y0: float, source_width: float,
                      source_height: float, initial_energy: float, dt: float,
                      dtype=jnp.float32, pid_offset: int = 0,
-                     pad_to: int | None = None) -> ParticleState:
+                     pad_to: int | None = None,
+                     rng_scheme: str = "threefry") -> ParticleState:
     """Vectorized source injection.
 
     Reproduces the reference's init (omp3/neutral.c:576-625): position from
@@ -123,7 +124,11 @@ def inject_particles(mesh: Mesh2D, *, nparticles: int, source_x0: float,
     pid = (jnp.arange(total, dtype=jnp.uint32) + np.uint32(pid_offset))
 
     # Draws use master_key=0: injection happens before the first timestep.
-    r0a, r0b = rng.uniform2(pid, jnp.uint32(0), jnp.uint32(0), dtype)
+    # (Under pcg64si the pair at counter c maps to per-draw seeds 2c, 2c+1,
+    # so position/angle use seeds 0,1,2 — exactly the oacc/raja backends'
+    # injection counters, oacc/neutral.c:644-675.)
+    r0a, r0b = rng.uniform2_scheme(pid, jnp.uint32(0), jnp.uint32(0), dtype,
+                                   rng_scheme)
     x = jnp.asarray(source_x0, dtype) + r0a * jnp.asarray(source_width, dtype)
     y = jnp.asarray(source_y0, dtype) + r0b * jnp.asarray(source_height, dtype)
 
@@ -134,7 +139,8 @@ def inject_particles(mesh: Mesh2D, *, nparticles: int, source_x0: float,
     celly = jnp.clip(jnp.searchsorted(mesh.edgey, y, side="right") - 1,
                      0, mesh.ny - 1).astype(jnp.int32)
 
-    r1a, _ = rng.uniform2(pid, jnp.uint32(0), jnp.uint32(1), dtype)
+    r1a, _ = rng.uniform2_scheme(pid, jnp.uint32(0), jnp.uint32(1), dtype,
+                                 rng_scheme)
     theta = jnp.asarray(2.0 * np.pi, dtype) * r1a
     omega_x = jnp.cos(theta)
     omega_y = jnp.sin(theta)

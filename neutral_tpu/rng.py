@@ -216,3 +216,195 @@ def uniform2_py(pkey: int, master_key: int, counter: int) -> tuple[float, float]
     """The reference's draw → (0,1) double mapping, on Python floats."""
     v0, v1 = threefry2x64_py((counter, 0), (pkey, master_key))
     return (v0 * _FACTOR64 + _HALF_FACTOR64, v1 * _FACTOR64 + _HALF_FACTOR64)
+
+
+# ----------------------------------------------------------------------------
+# PCG64si (pcg_oneseq_64_rxs_m_xs_64) — the RNG scheme of the reference's
+# oacc/raja backends (reference: oacc/neutral.c:710-719 seeds a fresh
+# generator per draw with seed = counter + 1e15*master_key + 1e4*pid).
+# PCG is a public algorithm (M.E. O'Neill); this is an independent
+# implementation on uint32 pairs, validated against vectors produced by the
+# reference's vendored header.  Selected via rng_scheme="pcg64si".
+# ----------------------------------------------------------------------------
+
+_PCG_MULT = 6364136223846793005
+_PCG_INC = 1442695040888963407
+_PCG_OUT_MULT = 12605985483714917081
+_MASTER_KEY_OFF = 10 ** 15
+_PARTICLE_KEY_OFF = 10 ** 4
+
+
+def pcg64si_py(seed: int) -> int:
+    """First output of a freshly seeded PCG64si stream (Python ints)."""
+    state = ((_PCG_INC + seed) * _PCG_MULT + _PCG_INC) & _MASK64
+    word = (((state >> ((state >> 59) + 5)) ^ state) * _PCG_OUT_MULT) \
+        & _MASK64
+    return ((word >> 43) ^ word) & _MASK64
+
+
+def pcg64si_pair_py(seed: int) -> tuple[int, int]:
+    """First two outputs of a freshly seeded PCG64si stream."""
+    s0 = ((_PCG_INC + seed) * _PCG_MULT + _PCG_INC) & _MASK64
+    s1 = (s0 * _PCG_MULT + _PCG_INC) & _MASK64
+
+    def out(state):
+        word = (((state >> ((state >> 59) + 5)) ^ state) * _PCG_OUT_MULT) \
+            & _MASK64
+        return ((word >> 43) ^ word) & _MASK64
+
+    return out(s0), out(s1)
+
+
+def uniform2_pcg_py(pkey: int, master_key: int, counter: int):
+    """Pair draw under the pcg64si scheme (consecutive per-draw seeds).
+
+    The reference's pcg backends draw ONE double per seeded generator with
+    a per-draw counter; this framework consumes uniforms in pairs, so pair
+    p uses draw counters (2p, 2p+1).  The generator, seeding formula and
+    (0,1) mapping are exactly the reference's; only the draw bookkeeping
+    follows this framework's pair-based event scheme (the reference's own
+    backends agree only statistically across RNG schemes too).
+    """
+    base = (_MASTER_KEY_OFF * master_key + _PARTICLE_KEY_OFF * pkey
+            + 2 * counter) & _MASK64
+    v0 = pcg64si_py(base)
+    v1 = pcg64si_py((base + 1) & _MASK64)
+    return (v0 * _FACTOR64 + _HALF_FACTOR64,
+            v1 * _FACTOR64 + _HALF_FACTOR64)
+
+
+# -- uint32-pair building blocks ---------------------------------------------
+
+def _mul32x32(a, b):
+    """Full 64-bit product of two u32 arrays as (hi, lo) u32."""
+    m16 = _u32(0xFFFF)
+    a0 = a & m16
+    a1 = a >> _u32(16)
+    b0 = b & m16
+    b1 = b >> _u32(16)
+    p00 = a0 * b0
+    p01 = a0 * b1
+    p10 = a1 * b0
+    p11 = a1 * b1
+    mid = (p00 >> _u32(16)) + (p01 & m16) + (p10 & m16)
+    lo = (p00 & m16) | ((mid & m16) << _u32(16))
+    hi = p11 + (p01 >> _u32(16)) + (p10 >> _u32(16)) + (mid >> _u32(16))
+    return hi, lo
+
+
+def _mul64_lo(ahi, alo, bhi, blo):
+    """(a * b) mod 2^64 on (hi, lo) u32 pairs."""
+    hi, lo = _mul32x32(alo, blo)
+    hi = hi + alo * bhi + ahi * blo
+    return hi, lo
+
+
+def _shr64_dyn(hi, lo, r):
+    """(hi, lo) >> r for per-lane shift amounts r in [1, 63]."""
+    big = r >= _u32(32)
+    rs = r & _u32(31)
+    nz = rs > _u32(0)
+    inv = (_u32(32) - rs) & _u32(31)
+    lo_small = (lo >> rs) | jnp.where(nz, hi << inv, _u32(0))
+    hi_small = jnp.where(nz, hi >> rs, hi)
+    lo_small = jnp.where(nz, lo_small, lo)
+    lo_big = jnp.where(nz, hi >> rs, hi)
+    return (jnp.where(big, _u32(0), hi_small),
+            jnp.where(big, lo_big, lo_small))
+
+
+_PCG_MULT_HI = np.uint32(_PCG_MULT >> 32)
+_PCG_MULT_LO = np.uint32(_PCG_MULT & 0xFFFFFFFF)
+_PCG_INC_HI = np.uint32(_PCG_INC >> 32)
+_PCG_INC_LO = np.uint32(_PCG_INC & 0xFFFFFFFF)
+_PCG_OMULT_HI = np.uint32(_PCG_OUT_MULT >> 32)
+_PCG_OMULT_LO = np.uint32(_PCG_OUT_MULT & 0xFFFFFFFF)
+_MKOFF_HI = np.uint32(_MASTER_KEY_OFF >> 32)
+_MKOFF_LO = np.uint32(_MASTER_KEY_OFF & 0xFFFFFFFF)
+
+
+def _pcg_step(hi, lo):
+    hi, lo = _mul64_lo(hi, lo, _PCG_MULT_HI, _PCG_MULT_LO)
+    return _add64(hi, lo, _PCG_INC_HI, _PCG_INC_LO)
+
+
+def _pcg_out(hi, lo):
+    """rxs_m_xs_64 output permutation on (hi, lo) u32 pairs."""
+    r = (hi >> _u32(27)) + _u32(5)          # (state >> 59) + 5
+    shi, slo = _shr64_dyn(hi, lo, r)
+    xhi = shi ^ hi
+    xlo = slo ^ lo
+    whi, wlo = _mul64_lo(xhi, xlo, _PCG_OMULT_HI, _PCG_OMULT_LO)
+    # (word >> 43) has zero hi word and lo = whi >> 11
+    return whi, wlo ^ (whi >> _u32(11))
+
+
+def pcg64si_first(seed_hi, seed_lo):
+    """First PCG64si output of freshly seeded streams (u32-pair arrays)."""
+    s0h, s0l = _add64(_PCG_INC_HI, _PCG_INC_LO, seed_hi, seed_lo)
+    s0h, s0l = _pcg_step(s0h, s0l)
+    return _pcg_out(s0h, s0l)
+
+
+def pcg64si_raw(seed_hi, seed_lo):
+    """First outputs of streams seeded `seed` and `seed + 1`.
+
+    The reference's pcg backends seed a FRESH generator per draw with an
+    incrementing counter (oacc/neutral.c:710-719); a pair draw therefore
+    uses two consecutive seeds, not two outputs of one stream.
+    """
+    a_hi, a_lo = pcg64si_first(seed_hi, seed_lo)
+    s1h, s1l = _add64(seed_hi, seed_lo, _u32(0), _u32(1))
+    b_hi, b_lo = pcg64si_first(s1h, s1l)
+    return a_hi, a_lo, b_hi, b_lo
+
+
+def _pcg_pair_seed(pkey, master_key, counter):
+    """seed = 1e15*mk + 1e4*pid + 2*counter as a (hi, lo) u32 pair."""
+    p_hi, p_lo = _split64(pkey)
+    m_hi, m_lo = _split64(master_key)
+    c_hi, c_lo = _split64(counter)
+    s_hi, s_lo = _mul64_lo(m_hi, m_lo, _MKOFF_HI, _MKOFF_LO)
+    k_hi, k_lo = _mul64_lo(p_hi, p_lo, _u32(0), _u32(_PARTICLE_KEY_OFF))
+    s_hi, s_lo = _add64(s_hi, s_lo, k_hi, k_lo)
+    # 2 * counter
+    c2_hi = (c_hi << _u32(1)) | (c_lo >> _u32(31))
+    c2_lo = c_lo << _u32(1)
+    return _add64(s_hi, s_lo, c2_hi, c2_lo)
+
+
+def uniform2_pcg_f64(pkey, master_key, counter):
+    """Two float64 uniforms under the pcg64si scheme (bit-exact)."""
+    sh, sl = _pcg_pair_seed(pkey, master_key, counter)
+    a_hi, a_lo, b_hi, b_lo = pcg64si_raw(sh, sl)
+
+    def conv(hi, lo):
+        v = (hi.astype(jnp.uint64) << 32) | lo.astype(jnp.uint64)
+        return v.astype(jnp.float64) * _FACTOR64 + _HALF_FACTOR64
+
+    return conv(a_hi, a_lo), conv(b_hi, b_lo)
+
+
+def uniform2_pcg_f32(pkey, master_key, counter):
+    """Two float32 uniforms under the pcg64si scheme (TPU fast path)."""
+    sh, sl = _pcg_pair_seed(pkey, master_key, counter)
+    a_hi, _, b_hi, _ = pcg64si_raw(sh, sl)
+
+    def conv(hi):
+        hi_top = (hi >> np.uint32(16)).astype(jnp.int32).astype(jnp.float32)
+        hi_low = (hi & np.uint32(0xFFFF)).astype(jnp.int32).astype(
+            jnp.float32)
+        as_f32 = hi_top * np.float32(65536.0) + hi_low
+        return as_f32 * np.float32(_FACTOR32_HI) + np.float32(
+            np.ldexp(1.0, -33))
+
+    return conv(a_hi), conv(b_hi)
+
+
+def uniform2_scheme(pkey, master_key, counter, dtype, scheme: str):
+    """Scheme- and dtype-dispatching pair draw."""
+    if scheme == "pcg64si":
+        if jnp.dtype(dtype) == jnp.dtype(jnp.float32):
+            return uniform2_pcg_f32(pkey, master_key, counter)
+        return uniform2_pcg_f64(pkey, master_key, counter)
+    return uniform2(pkey, master_key, counter, dtype)

@@ -77,6 +77,9 @@ class Geometry:
     dx: float = 0.0
     dy: float = 0.0
     regions: tuple | None = None
+    # RNG stream scheme: "threefry" (omp3/omp4/cuda backends' Threefry-2x64)
+    # or "pcg64si" (oacc/raja backends' per-draw-seeded PCG).
+    rng_scheme: str = "threefry"
 
 
 @dataclass(frozen=True)
@@ -194,7 +197,8 @@ def begin_timestep(state: ParticleState, mesh: Mesh2D, geom: Geometry,
     sig_s = scatter_tab.lookup(state.energy)
     mac_s = _macroscopic(density, sig_s)
 
-    r0, _ = rng.uniform2(state.pid, master_key, jnp.uint32(0), dtype)
+    r0, _ = rng.uniform2_scheme(state.pid, master_key, jnp.uint32(0),
+                                dtype, geom.rng_scheme)
     mfp = -jnp.log(r0) / mac_s
 
     return ParticleState(
@@ -321,7 +325,8 @@ def sweep_core(state: ParticleState, mesh, geom: Geometry,
 
     # ---- collision branch (reference: omp3/neutral.c:209-300) -------------
     p_absorb = mac_a / mac_t
-    rn1a, rn1b = rng.uniform2(state.pid, master_key, state.counter, dtype)
+    rn1a, rn1b = rng.uniform2_scheme(state.pid, master_key, state.counter,
+                                     dtype, geom.rng_scheme)
     absorbed = rn1a < p_absorb
     weight = jnp.where(is_coll & absorbed,
                        state.weight * (1.0 - p_absorb), state.weight)
@@ -350,7 +355,8 @@ def sweep_core(state: ParticleState, mesh, geom: Geometry,
     # post-collision energy's scattering cross-section in the same cell.
     sig_s2 = scatter_tab.lookup(energy)
     mac_s2 = number_density * sig_s2 * _c(BARNS, dtype)
-    rn2a, _ = rng.uniform2(state.pid, master_key, counter, dtype)
+    rn2a, _ = rng.uniform2_scheme(state.pid, master_key, counter, dtype,
+                                  geom.rng_scheme)
     coll_alive = is_coll & (~died)
     counter = counter + coll_alive.astype(jnp.uint32)
     mfp = jnp.where(coll_alive, -jnp.log(rn2a) / mac_s2,
