@@ -23,7 +23,6 @@ the same semantics as the reference's barrier+profiler pair (main.c:112-116).
 from __future__ import annotations
 
 import argparse
-import math
 import sys
 from dataclasses import dataclass
 

@@ -99,3 +99,20 @@ def test_particle_density_histogram():
     ys, xs = np.nonzero(dens)
     assert xs.min() >= 5 and xs.max() <= 15
     assert ys.min() >= 5 and ys.max() <= 15
+
+
+def test_determinism_across_runs():
+    """Same deck => bitwise-identical tally on independent Simulations.
+
+    The reference's only concurrency-correctness device is atomic tally
+    adds (non-deterministic ordering); ours is functional purity — rerun
+    determinism is a guarantee, not luck (SURVEY §5 race detection).
+    """
+    cfg = small_cfg(niters=2, dtype="float32", tally_dtype="float32")
+    a = Simulation(cfg, quiet=True)
+    b = Simulation(cfg, quiet=True)
+    for tt in (1, 2):
+        ma = a.step(tt)
+        mb = b.step(tt)
+        assert (ma.nfacets, ma.ncollisions) == (mb.nfacets, mb.ncollisions)
+    np.testing.assert_array_equal(np.asarray(a.tally), np.asarray(b.tally))
