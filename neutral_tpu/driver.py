@@ -124,6 +124,15 @@ def make_geometry(cfg: SimConfig) -> Geometry:
                     rng_scheme=cfg.rng)
 
 
+
+def _local_coords(cfg: SimConfig, dtype):
+    """(dx, dy) when the f32 cell-local position representation applies."""
+    from .transport import use_local_coords
+    geom_like = make_geometry(cfg)
+    if use_local_coords(geom_like, dtype):
+        return (cfg.width / cfg.nx, cfg.height / cfg.ny)
+    return None
+
 @dataclass
 class StepMetrics:
     step: int
@@ -297,6 +306,7 @@ class Simulation(SimulationBase):
             dtype=self.dtype,
             pad_to=_round_up(n, _LANE_PAD),
             rng_scheme=cfg.rng,
+            local_coords=_local_coords(cfg, self.dtype),
         )
         self.tally = jnp.zeros(cfg.nx * cfg.ny,
                                dtype=jnp.dtype(cfg.tally_dtype))

@@ -276,7 +276,8 @@ class ShardedSimulation(driver_mod.SimulationBase):
             source_width=cfg.source.width * cfg.width,
             source_height=cfg.source.height * cfg.height,
             initial_energy=cfg.initial_energy, dt=cfg.dt,
-            dtype=self.dtype, pad_to=total, rng_scheme=cfg.rng)
+            dtype=self.dtype, pad_to=total, rng_scheme=cfg.rng,
+            local_coords=driver_mod._local_coords(cfg, self.dtype))
 
         shard_sharding = NamedSharding(self.device_mesh, P(self.axis))
         self.state = jax.tree_util.tree_map(

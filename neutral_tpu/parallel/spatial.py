@@ -177,7 +177,8 @@ class SpatialSimulation(driver_mod.SimulationBase):
             source_width=cfg.source.width * cfg.width,
             source_height=cfg.source.height * cfg.height,
             initial_energy=cfg.initial_energy, dt=cfg.dt,
-            dtype=self.dtype, rng_scheme=cfg.rng)
+            dtype=self.dtype, rng_scheme=cfg.rng,
+            local_coords=driver_mod._local_coords(cfg, self.dtype))
 
         owner = np.clip(np.asarray(state.celly) // self.rows, 0, nshards - 1)
         peak = int(np.bincount(owner, minlength=nshards).max())

@@ -103,7 +103,9 @@ def inject_particles(mesh: Mesh2D, *, nparticles: int, source_x0: float,
                      source_height: float, initial_energy: float, dt: float,
                      dtype=jnp.float32, pid_offset: int = 0,
                      pad_to: int | None = None,
-                     rng_scheme: str = "threefry") -> ParticleState:
+                     rng_scheme: str = "threefry",
+                     local_coords: tuple[float, float] | None = None
+                     ) -> ParticleState:
     """Vectorized source injection.
 
     Reproduces the reference's init (omp3/neutral.c:576-625): position from
@@ -114,6 +116,8 @@ def inject_particles(mesh: Mesh2D, *, nparticles: int, source_x0: float,
 
     Source geometry arguments are in *physical* coordinates (the caller
     multiplies the deck's fractional box by the domain extent).
+    `local_coords=(dx, dy)` stores x/y as cell-local offsets (the f32
+    fast-path representation — transport.use_local_coords).
     """
     dtype = jnp.dtype(dtype)
     n = int(nparticles)
@@ -138,6 +142,13 @@ def inject_particles(mesh: Mesh2D, *, nparticles: int, source_x0: float,
                      0, mesh.nx - 1).astype(jnp.int32)
     celly = jnp.clip(jnp.searchsorted(mesh.edgey, y, side="right") - 1,
                      0, mesh.ny - 1).astype(jnp.int32)
+
+    if local_coords is not None:
+        dx, dy = local_coords
+        x = jnp.clip(x - cellx.astype(dtype) * np.dtype(dtype).type(dx),
+                     0.0, np.dtype(dtype).type(dx))
+        y = jnp.clip(y - celly.astype(dtype) * np.dtype(dtype).type(dy),
+                     0.0, np.dtype(dtype).type(dy))
 
     r1a, _ = rng.uniform2_scheme(pid, jnp.uint32(0), jnp.uint32(1), dtype,
                                  rng_scheme)

@@ -149,12 +149,30 @@ def _density_of(state: ParticleState, mesh: Mesh2D, geom: Geometry):
     return mesh.density.reshape(-1)[flat_cell]
 
 
+def use_local_coords(geom: Geometry, dtype) -> bool:
+    """Whether particle x/y are CELL-LOCAL offsets instead of global.
+
+    float32 positions measured from the domain origin resolve a 4000-cell
+    mesh to only ~1e-3 of a cell near the far edge, which near-facet
+    collisions turn into spurious facet crossings (~100x inflation on the
+    scatter problem).  Storing the position relative to the particle's own
+    cell keeps resolution at ~1e-7 of a cell everywhere, matching the
+    f64/global facet statistics to a few counts.  Enabled for the
+    float32 + uniform-mesh fast path; the float64 path keeps global
+    coordinates (bit-compatible with the sequential oracle).
+    """
+    return bool(geom.dx) and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+
+
 def _facet_edges(state: ParticleState, mesh: Mesh2D, geom: Geometry):
     """(ex_lo, ex_hi, ey_lo, ey_hi) bounding edges of each particle's cell."""
     if geom.dx:
         dtype = state.dtype
         dx = _c(geom.dx, dtype)
         dy = _c(geom.dy, dtype)
+        if use_local_coords(geom, dtype):
+            zero = _c(0.0, dtype)
+            return zero, dx, zero, dy
         cx = state.cellx.astype(dtype)
         cy = state.celly.astype(dtype)
         return cx * dx, (cx + 1.0) * dx, cy * dy, (cy + 1.0) * dy
@@ -397,6 +415,10 @@ def sweep_core(state: ParticleState, mesh, geom: Geometry,
     omega_y = jnp.where(refl_y, -omega_y, omega_y)
     cellx = state.cellx + step_x
     celly = state.celly + step_y
+    if use_local_coords(geom, dtype):
+        # Re-base the cell-local position onto the new cell.
+        x = x - step_x.astype(dtype) * _c(geom.dx, dtype)
+        y = y - step_y.astype(dtype) * _c(geom.dy, dtype)
 
     dead = state.dead | died
 
