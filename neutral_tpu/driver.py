@@ -164,7 +164,7 @@ class SimulationBase:
         # compacts adaptively, so treat 0 as "on" and -1 as "off".
         self.compact_enabled = cfg.compact_every >= 0
         self.compact_min = 8192         # smallest working-set capacity
-        self.k_events = 8               # fused events per Pallas kernel call
+        self.k_events = 16              # fused events per Pallas kernel call
         engine = getattr(cfg, "engine", "auto")
         if engine == "auto":
             self.use_pallas = bool(cfg.fast_math

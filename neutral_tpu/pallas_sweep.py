@@ -244,7 +244,7 @@ def pallas_sweep_chunk(state: ParticleState, tally: jnp.ndarray,
     n_outer = max(max_sweeps // k_events, 1)
     S = ring_cell.shape[0]
     n = state.x.shape[0]
-    pause_budget = max(n // 256, 1)
+    pause_budget = max(n // 2048, 1)
 
     def cond(carry):
         s, _, _, rc, rv, rn, it = carry
