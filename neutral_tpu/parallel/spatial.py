@@ -218,11 +218,24 @@ class SpatialSimulation(driver_mod.SimulationBase):
 
         def shard_fn(s, t_row):
             y_off = (lax.axis_index(axis) * rows).astype(jnp.int32)
-            s, t, c, nsweeps, _ = transport.sweep_chunk(
-                s, t_row[0], EventCounts.zeros(), self.mesh,
-                self.cs_scatter, self.cs_absorb, self.geom, mk,
-                1.0 / self.cfg.nparticles, self.chunk_sweeps,
-                events_per_sweep=self.events_per_sweep, y_off_dyn=y_off)
+            if self.use_pallas:
+                from ..pallas_sweep import (drain_rings, make_rings,
+                                            pallas_sweep_chunk)
+                rc, rv, rn = make_rings(s.x.shape[0], t_row.dtype)
+                (s, t, c, rc, rv, rn, nsweeps, _) = pallas_sweep_chunk(
+                    s, t_row[0], EventCounts.zeros(), rc, rv, rn,
+                    self.cs_scatter, self.cs_absorb, self.geom, mk,
+                    1.0 / self.cfg.nparticles, self.chunk_sweeps,
+                    k_events=self.k_events, y_off=y_off,
+                    interpret=getattr(self, "pallas_interpret", False))
+                # Rings are lane-indexed: flush before lanes migrate.
+                t, rc, rv, rn = drain_rings(t, rc, rv, rn)
+            else:
+                s, t, c, nsweeps, _ = transport.sweep_chunk(
+                    s, t_row[0], EventCounts.zeros(), self.mesh,
+                    self.cs_scatter, self.cs_absorb, self.geom, mk,
+                    1.0 / self.cfg.nparticles, self.chunk_sweeps,
+                    events_per_sweep=self.events_per_sweep, y_off_dyn=y_off)
             s, pending, err = _migrate(s, y_off, axis, self.nshards, rows,
                                        self.cap_xfer)
             work = jnp.count_nonzero(

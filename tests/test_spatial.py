@@ -74,3 +74,30 @@ def test_spatial_requires_divisible_mesh():
                     problems=(ProblemRegion(1.0, 0.0, 0.0, 1.0, 1.0),))
     with pytest.raises(ValueError, match="divisible"):
         SpatialSimulation(cfg, device_mesh=make_device_mesh(8))
+
+
+def test_spatial_pallas_interpret_matches_single():
+    """Spatial mode on the fused Pallas path (interpret) == single device.
+
+    Kept tiny: interpret mode executes the kernel per-op in Python and the
+    spatial path runs it once per shard per chunk.
+    """
+    cfg = SimConfig(nx=64, ny=64, dt=5e-9, niters=1, nparticles=1024,
+                    initial_energy=1.0e6, chunk_sweeps=8,
+                    source=SourceBox(0.4, 0.3, 0.2, 0.4),
+                    problems=(ProblemRegion(1.0e-2, 0.0, 0.0, 1.0, 1.0),),
+                    dtype="float32", tally_dtype="float32")
+    single = Simulation(cfg, quiet=True)
+    single.step(1)
+
+    spatial = SpatialSimulation(cfg.with_(engine="pallas"), quiet=True)
+    assert spatial.use_pallas
+    spatial.pallas_interpret = True
+    spatial.k_events = 4
+    spatial.step(1)
+
+    a, b = single.step_metrics[0], spatial.step_metrics[0]
+    assert (a.nfacets, a.ncollisions) == (b.nfacets, b.ncollisions)
+    np.testing.assert_allclose(
+        np.asarray(single.tally, np.float64).sum(),
+        np.asarray(spatial.tally, np.float64).sum(), rtol=1e-6)
