@@ -266,8 +266,14 @@ def pallas_sweep_chunk(state: ParticleState, tally: jnp.ndarray,
         paused = working & (rn >= S)
         npaused = jnp.count_nonzero(paused)
         all_stuck = jnp.any(working) & ~jnp.any(working & (rn < S))
+        # Flush-heavy regime: when MANY lanes are nearly full, the ring is
+        # dense with real entries — drain proactively so the next kernel
+        # call doesn't run half-gated (streaming problems would otherwise
+        # waste every other call).
+        nearly_full = jnp.count_nonzero(working & (rn > S - k_events))
         t, rc, rv, rn = lax.cond(
-            (npaused > pause_budget) | all_stuck,
+            (npaused > pause_budget) | all_stuck
+            | (nearly_full > n // 8),
             lambda op: _drain_rings(*op),
             lambda op: op,
             (t, rc, rv, rn))

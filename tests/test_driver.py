@@ -116,3 +116,22 @@ def test_determinism_across_runs():
         mb = b.step(tt)
         assert (ma.nfacets, ma.ncollisions) == (mb.nfacets, mb.ncollisions)
     np.testing.assert_array_equal(np.asarray(a.tally), np.asarray(b.tally))
+
+
+def test_non_unit_domain_fast_vs_slow_paths():
+    """width/height != 1 (the arch.params knobs): analytic fast-math paths
+    must agree with the gather/global-coordinate paths bitwise in f64."""
+    base = dict(nx=80, ny=40, width=2.5, height=1.25, dt=1e-7, niters=1,
+                nparticles=800, initial_energy=1.0e4,
+                source=SourceBox(0.1, 0.2, 0.3, 0.4),
+                problems=(ProblemRegion(1.0e2, 0.0, 0.0, 1.0, 1.0),
+                          ProblemRegion(1.0e4, 0.4, 0.3, 0.3, 0.5),),
+                dtype="float64", tally_dtype="float64")
+    slow = Simulation(SimConfig(**base, fast_math=False), quiet=True)
+    fast = Simulation(SimConfig(**base, fast_math=True), quiet=True)
+    ms, mf = slow.step(1), fast.step(1)
+    assert (ms.nfacets, ms.ncollisions) == (mf.nfacets, mf.ncollisions)
+    # cell edges come from i*dx in both paths but XLA may contract the
+    # multiply-adds differently -> last-ulp distance differences
+    np.testing.assert_allclose(np.asarray(slow.tally),
+                               np.asarray(fast.tally), rtol=1e-12, atol=0)
