@@ -461,10 +461,16 @@ def main(argv: list[str] | None = None) -> int:
     if jnp.dtype(cfg.dtype) == jnp.float64:
         jax.config.update("jax_enable_x64", True)
 
-    if len(jax.devices()) > 1:
+    # Startup banner (the reference prints its OpenMP thread count here,
+    # main.c:52-53).
+    devs = jax.devices()
+    print(f"Starting up on {len(devs)} device(s): {devs[0].platform}.")
+    print(f"Loading problem from {args.params}.")
+
+    if len(devs) > 1:
         from .parallel import ShardedSimulation
         sim = ShardedSimulation(cfg, events_per_sweep=args.events_per_sweep)
-        print(f"Sharding particles over {len(jax.devices())} devices.")
+        print(f"Sharding particles over {len(devs)} devices.")
     else:
         sim = Simulation(cfg, events_per_sweep=args.events_per_sweep)
     if args.restore:
