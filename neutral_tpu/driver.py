@@ -440,6 +440,11 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["auto", "xla", "pallas"],
                    help="sweep engine for the jax backend (auto = fused "
                         "Pallas kernel on TPU when fast_math)")
+    p.add_argument("--decomposition", default="replicated",
+                   choices=["replicated", "spatial"],
+                   help="multi-device strategy: replicated mesh with "
+                        "sharded particles (reference master semantics) or "
+                        "spatial slabs with particle migration")
     args = p.parse_args(argv)
 
     cfg = load_config(args.params)
@@ -468,9 +473,16 @@ def main(argv: list[str] | None = None) -> int:
     print(f"Loading problem from {args.params}.")
 
     if len(devs) > 1:
-        from .parallel import ShardedSimulation
-        sim = ShardedSimulation(cfg, events_per_sweep=args.events_per_sweep)
-        print(f"Sharding particles over {len(devs)} devices.")
+        if args.decomposition == "spatial":
+            from .parallel import SpatialSimulation
+            sim = SpatialSimulation(cfg,
+                                    events_per_sweep=args.events_per_sweep)
+            print(f"Spatial slab decomposition over {len(devs)} devices.")
+        else:
+            from .parallel import ShardedSimulation
+            sim = ShardedSimulation(cfg,
+                                    events_per_sweep=args.events_per_sweep)
+            print(f"Sharding particles over {len(devs)} devices.")
     else:
         sim = Simulation(cfg, events_per_sweep=args.events_per_sweep)
     if args.restore:

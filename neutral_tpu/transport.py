@@ -17,8 +17,11 @@ advances its own draw counter exactly as the sequential history loop would,
 so tallies and event counts match the reference semantics bit-for-bit in
 float64 and to statistical tolerance in float32.
 
-Structure-of-arrays state, gathers for cross-sections/edges/density,
-scatter-add for tallies — no atomics, no data races, by construction.
+Structure-of-arrays state; cross-sections/edges/density evaluated in
+closed form on the fast path (gather fallbacks for arbitrary tables and
+non-uniform meshes); scatter-add for tallies — no atomics, no data races,
+by construction.  The TPU production path runs this module's sweep_core
+inside the fused Pallas kernel (pallas_sweep.py).
 """
 
 from __future__ import annotations
