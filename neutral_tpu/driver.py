@@ -246,12 +246,18 @@ class SimulationBase:
         return local
 
     # ------------------------------------------------------------------
+    def _coords_convention(self) -> str:
+        return ("cell-local"
+                if _local_coords(self.cfg, self.dtype) else "global")
+
     def checkpoint(self, path: str, step: int) -> None:
         io_utils.save_checkpoint(path, self.state, np.asarray(self.tally),
-                                 step, self.elapsed_sim_time)
+                                 step, self.elapsed_sim_time,
+                                 coords=self._coords_convention())
 
     def restore(self, path: str) -> int:
-        state, tally, step, t = io_utils.load_checkpoint(path)
+        state, tally, step, t = io_utils.load_checkpoint(
+            path, expect_coords=self._coords_convention())
         dt = self.dtype
         self.state = ParticleState(
             x=jnp.asarray(state.x, dt), y=jnp.asarray(state.y, dt),

@@ -72,21 +72,35 @@ _STATE_FIELDS = ("x", "y", "omega_x", "omega_y", "energy", "weight",
 
 
 def save_checkpoint(path: str, state: ParticleState, tally: np.ndarray,
-                    step: int, elapsed_sim_time: float) -> None:
-    """Write the full simulation state as one compressed npz."""
+                    step: int, elapsed_sim_time: float,
+                    coords: str = "global") -> None:
+    """Write the full simulation state as one compressed npz.
+
+    `coords` records the x/y convention ("global" or "cell-local", the f32
+    fast-path representation) so a restore into a differently-configured
+    simulation fails loudly instead of silently misplacing particles.
+    """
     payload = {f: np.asarray(getattr(state, f)) for f in _STATE_FIELDS}
     payload["tally"] = np.asarray(tally)
     payload["step"] = np.int64(step)
     payload["elapsed_sim_time"] = np.float64(elapsed_sim_time)
+    payload["coords"] = np.bytes_(coords)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez_compressed(f, **payload)
     os.replace(tmp, path)      # atomic publish: no torn checkpoints
 
 
-def load_checkpoint(path: str):
+def load_checkpoint(path: str, expect_coords: str = "global"):
     """Returns (state, tally, step, elapsed_sim_time) as host arrays."""
     with np.load(path) as z:
+        coords = (z["coords"].item().decode()
+                  if "coords" in z.files else "global")
+        if coords != expect_coords:
+            raise ValueError(
+                f"checkpoint stores {coords!r} coordinates but this "
+                f"simulation uses {expect_coords!r} (dtype/fast_math "
+                "mismatch between save and restore configs)")
         state = ParticleState(**{f: z[f] for f in _STATE_FIELDS})
         return (state, z["tally"], int(z["step"]),
                 float(z["elapsed_sim_time"]))
