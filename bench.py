@@ -64,8 +64,17 @@ def main() -> int:
     cfg = load_config(os.path.join(here, "problems", "scatter.params"))
     n_dev = len(jax.devices())
 
-    run_problem(cfg, n_dev)  # warmup: trace + compile all shapes
-    events, solve_time, tally_sum = run_problem(cfg, n_dev)
+    # The remote-TPU link occasionally stalls; one retry covers a
+    # transient drop without masking real failures.
+    for attempt in range(2):
+        try:
+            run_problem(cfg, n_dev)  # warmup: trace + compile all shapes
+            events, solve_time, tally_sum = run_problem(cfg, n_dev)
+            break
+        except Exception:
+            if attempt == 1:
+                raise
+            time.sleep(60)
 
     expected = cfg.expected_tally
     rel_err = (abs(tally_sum - expected) / abs(expected)
