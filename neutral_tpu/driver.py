@@ -368,16 +368,20 @@ class Simulation(SimulationBase):
                     self.chunk_sweeps,
                     events_per_sweep=self.events_per_sweep)
             nsweeps += int(done)
+            if use_pallas and sel is None:
+                # chunk inputs are donated; keep `full` pointing at live
+                # buffers (it aliases `part` until the first compaction)
+                full = part
             if not bool(any_live):
                 break
             cap = part.n
             if self.compact_enabled and cap > min_cap:
                 live = int(live_count(part))
                 target = max(min_cap, 1 << (max(live, 1) - 1).bit_length())
-                # Shrink only in >=4x jumps: each new size is a separate XLA
-                # executable, so a gentler ladder would churn compiles for
-                # marginal bandwidth savings (cached across runs regardless).
-                if target <= cap // 4:
+                # Each new size is a separate XLA executable (disk-cached
+                # across runs); halving steps trade a few one-time compiles
+                # for much smaller full-width ring drains in the death tail.
+                if target <= cap // 2:
                     if use_pallas:
                         # Rings are lane-indexed: flush before reordering.
                         self.tally, rc, rv, rn = drain_rings(

@@ -193,10 +193,27 @@ def pallas_multi_sweep(state: ParticleState, ring_cell, ring_val, ring_cnt,
     return new_state, ring_cell, ring_val, ring_cnt, nf, nc
 
 
+_SPARSE_FROM = 2        # rows below this drain full-width (usually dense)
+_SPARSE_CAP = 65536     # max deep-ring lanes the compacted path handles
+
+
 def _drain_rings(tally, ring_cell, ring_val, ring_cnt):
-    """Row-conditional ring drain: scatter only slots any lane has used."""
+    """Ring drain with a sparse path for deep rows.
+
+    The scatter costs ~8.8ns/ENTRY including sentinels, so draining all
+    S x N slots when only a few hot lanes have deep rings wastes seconds
+    at 10M lanes.  Rows 0..1 are usually dense (every death/census leaves
+    one entry) and drain full-width; rows 2+ belong to the few
+    many-flush lanes, whose lane indices are compacted once
+    (jnp.nonzero, static size) so the deep scatters touch only
+    _SPARSE_CAP entries per row.  Falls back to full-width rows when more
+    than _SPARSE_CAP lanes run deep (flush-heavy regimes — where those
+    rows are dense with real entries anyway).
+    """
     S = ring_cell.shape[0]
-    for s in range(S):
+    n = ring_cnt.shape[0]
+
+    for s in range(min(_SPARSE_FROM, S)):
         tally = lax.cond(
             jnp.any(ring_cnt > s),
             lambda tt, row_c=ring_cell[s], row_v=ring_val[s]:
@@ -204,6 +221,45 @@ def _drain_rings(tally, ring_cell, ring_val, ring_cnt):
                     row_v, mode="drop"),
             lambda tt: tt,
             tally)
+
+    if S > _SPARSE_FROM and n > 4 * _SPARSE_CAP:
+        deep = ring_cnt > _SPARSE_FROM
+        ndeep = jnp.count_nonzero(deep)
+
+        def sparse(tt):
+            idx = jnp.nonzero(deep, size=_SPARSE_CAP, fill_value=-1)[0]
+            valid = idx >= 0
+            safe = jnp.clip(idx, 0, None)
+            for s in range(_SPARSE_FROM, S):
+                cells = jnp.where(valid, ring_cell[s, safe], -1)
+                vals = jnp.where(valid, ring_val[s, safe], 0)
+                tt = tt.at[jnp.where(cells >= 0, cells, tt.shape[0])].add(
+                    vals, mode="drop")
+            return tt
+
+        def full(tt):
+            for s in range(_SPARSE_FROM, S):
+                row_c = ring_cell[s]
+                row_v = ring_val[s]
+                tt = tt.at[jnp.where(row_c >= 0, row_c, tt.shape[0])].add(
+                    row_v, mode="drop")
+            return tt
+
+        tally = lax.cond(
+            ndeep == 0,
+            lambda tt: tt,
+            lambda tt: lax.cond(ndeep <= _SPARSE_CAP, sparse, full, tt),
+            tally)
+    else:
+        for s in range(_SPARSE_FROM, S):
+            tally = lax.cond(
+                jnp.any(ring_cnt > s),
+                lambda tt, row_c=ring_cell[s], row_v=ring_val[s]:
+                    tt.at[jnp.where(row_c >= 0, row_c, tt.shape[0])].add(
+                        row_v, mode="drop"),
+                lambda tt: tt,
+                tally)
+
     return (tally, jnp.full_like(ring_cell, -1), jnp.zeros_like(ring_val),
             jnp.zeros_like(ring_cnt))
 
@@ -227,7 +283,8 @@ def drain_rings(tally, ring_cell, ring_val, ring_cnt):
 
 
 @partial(jax.jit, static_argnames=("geom", "inv_ntotal", "max_sweeps",
-                                   "k_events", "interpret"))
+                                   "k_events", "interpret"),
+         donate_argnums=(0, 1, 3, 4, 5))
 def pallas_sweep_chunk(state: ParticleState, tally: jnp.ndarray,
                        counts: EventCounts, ring_cell, ring_val, ring_cnt,
                        scatter_tab: CrossSection,
