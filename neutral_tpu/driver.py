@@ -173,7 +173,8 @@ class SimulationBase:
             self.use_pallas = engine == "pallas"
         enable_compilation_cache()
 
-        self.mesh: Mesh2D = build_mesh(cfg, dtype=self.dtype)
+        self.mesh: Mesh2D = build_mesh(cfg, dtype=self.dtype,
+                                       with_density=not cfg.fast_math)
         self.geom = make_geometry(cfg)
         self.cs_scatter, self.cs_absorb = load_cross_sections(
             cfg, dtype=self.dtype)

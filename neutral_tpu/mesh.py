@@ -93,17 +93,27 @@ def region_cell_bounds(cfg: SimConfig) -> tuple:
     return tuple(out)
 
 
-def build_mesh(cfg: SimConfig, dtype=None) -> Mesh2D:
-    """Uniform mesh + density field as device arrays."""
+def build_mesh(cfg: SimConfig, dtype=None, with_density: bool = True
+               ) -> Mesh2D:
+    """Uniform mesh + density field as device arrays.
+
+    `with_density=False` skips materializing the (ny, nx) density grid
+    (64MB at 4000^2) — the fast-math transport evaluates density
+    analytically from the problem regions and never reads it, and the
+    upload alone costs seconds over a remote-TPU link.
+    """
     dtype = jnp.dtype(dtype or cfg.dtype)
     # Edges computed in f64 on host then cast: matches the reference's
     # uniform spacing (edge[i] = i * width / nx) to the target precision.
     edgex = (np.arange(cfg.nx + 1, dtype=np.float64) * (cfg.width / cfg.nx))
     edgey = (np.arange(cfg.ny + 1, dtype=np.float64) * (cfg.height / cfg.ny))
-    density = build_density(cfg, dtype=np.dtype(dtype))
+    if with_density:
+        density = jnp.asarray(build_density(cfg, dtype=np.dtype(dtype)))
+    else:
+        density = jnp.zeros((1, 1), dtype)
     return Mesh2D(
         nx=cfg.nx, ny=cfg.ny, width=cfg.width, height=cfg.height,
         edgex=jnp.asarray(edgex.astype(np.dtype(dtype))),
         edgey=jnp.asarray(edgey.astype(np.dtype(dtype))),
-        density=jnp.asarray(density),
+        density=density,
     )

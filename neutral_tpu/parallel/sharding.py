@@ -162,7 +162,8 @@ def sweep_chunk_sharded(state: ParticleState, tally_parts: jnp.ndarray,
 
 @partial(jax.jit,
          static_argnames=("geom", "inv_ntotal", "mesh_axes", "max_sweeps",
-                          "k_events"))
+                          "k_events"),
+         donate_argnums=(0, 1, 2, 3, 4))
 def pallas_sweep_chunk_sharded(state: ParticleState, tally_parts,
                                ring_cell, ring_val, ring_cnt,
                                scatter_tab: CrossSection,

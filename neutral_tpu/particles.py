@@ -98,6 +98,11 @@ def merge_compacted(full: ParticleState, part: ParticleState,
         lambda f, p: f.at[sel_idx].set(p), full, part)
 
 
+@partial(jax.jit,
+         static_argnames=("nparticles", "source_x0", "source_y0",
+                          "source_width", "source_height", "initial_energy",
+                          "dt", "dtype", "pid_offset", "pad_to",
+                          "rng_scheme", "local_coords"))
 def inject_particles(mesh: Mesh2D, *, nparticles: int, source_x0: float,
                      source_y0: float, source_width: float,
                      source_height: float, initial_energy: float, dt: float,
