@@ -317,6 +317,11 @@ class Simulation(SimulationBase):
         )
         self.tally = jnp.zeros(cfg.nx * cfg.ny,
                                dtype=jnp.dtype(cfg.tally_dtype))
+        # Injection belongs to init, not to the first step's metrics (the
+        # reference injects in initialise_neutral_data, before the timed
+        # solve loop — main.c:72 vs :99).  Force the async dispatch to
+        # finish here so step 1's wallclock doesn't absorb it.
+        jax.block_until_ready(self.state)
 
     # ------------------------------------------------------------------
     def step(self, tt: int) -> StepMetrics:

@@ -36,16 +36,20 @@ class Mesh2D:
     edgex: jnp.ndarray   # (nx+1,)
     edgey: jnp.ndarray   # (ny+1,)
     density: jnp.ndarray  # (ny, nx)
+    # Static flag: edges are uniformly spaced (edge[i] = i * pitch).  Lets
+    # consumers replace O(log n) gather-based edge searches with a floor
+    # division + one exact gather fixup (particles.inject_particles).
+    uniform: bool = True
 
     def tree_flatten(self):
         return ((self.edgex, self.edgey, self.density),
-                (self.nx, self.ny, self.width, self.height))
+                (self.nx, self.ny, self.width, self.height, self.uniform))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        nx, ny, width, height = aux
+        nx, ny, width, height, uniform = aux
         edgex, edgey, density = children
-        return cls(nx, ny, width, height, edgex, edgey, density)
+        return cls(nx, ny, width, height, edgex, edgey, density, uniform)
 
 
 def build_density(cfg: SimConfig, dtype=np.float64) -> np.ndarray:

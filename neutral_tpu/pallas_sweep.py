@@ -193,7 +193,7 @@ def pallas_multi_sweep(state: ParticleState, ring_cell, ring_val, ring_cnt,
     return new_state, ring_cell, ring_val, ring_cnt, nf, nc
 
 
-_SPARSE_FROM = 2        # rows below this drain full-width (usually dense)
+_SPARSE_FROM = 1        # rows below this drain full-width (usually dense)
 _SPARSE_CAP = 65536     # max deep-ring lanes the compacted path handles
 
 
@@ -202,8 +202,8 @@ def _drain_rings(tally, ring_cell, ring_val, ring_cnt):
 
     The scatter costs ~8.8ns/ENTRY including sentinels, so draining all
     S x N slots when only a few hot lanes have deep rings wastes seconds
-    at 10M lanes.  Rows 0..1 are usually dense (every death/census leaves
-    one entry) and drain full-width; rows 2+ belong to the few
+    at 10M lanes.  Row 0 is usually dense (every death/census leaves
+    one entry) and drains full-width; rows 1+ belong to the few
     many-flush lanes, whose lane indices are compacted once
     (jnp.nonzero, static size) so the deep scatters touch only
     _SPARSE_CAP entries per row.  Falls back to full-width rows when more

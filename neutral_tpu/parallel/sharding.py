@@ -287,6 +287,8 @@ class ShardedSimulation(driver_mod.SimulationBase):
             jnp.zeros((nshards, cfg.nx * cfg.ny),
                       dtype=jnp.dtype(cfg.tally_dtype)),
             NamedSharding(self.device_mesh, P(self.axis, None)))
+        # Injection is init work, not step-1 work (see driver.Simulation).
+        jax.block_until_ready(self.state)
 
     def step(self, tt: int):
         """Chunk-dispatched sharded census step; returns StepMetrics."""
