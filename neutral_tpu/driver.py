@@ -166,11 +166,17 @@ class SimulationBase:
         self.compact_min = 8192         # smallest working-set capacity
         self.k_events = 16              # fused events per Pallas kernel call
         engine = getattr(cfg, "engine", "auto")
+        # The Mosaic kernel is a float32 TPU program; f64 decks (compare
+        # tooling, precision studies) take the XLA sweep.
+        is_f32 = self.dtype == jnp.dtype(jnp.float32)
         if engine == "auto":
-            self.use_pallas = bool(cfg.fast_math
+            self.use_pallas = bool(cfg.fast_math and is_f32
                                    and jax.default_backend() != "cpu")
         else:
             self.use_pallas = engine == "pallas"
+            if self.use_pallas and not is_f32:
+                raise ValueError("engine='pallas' requires dtype float32 "
+                                 f"(got {self.dtype})")
         enable_compilation_cache()
 
         self.mesh: Mesh2D = build_mesh(cfg, dtype=self.dtype,

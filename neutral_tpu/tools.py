@@ -46,7 +46,16 @@ def cmd_gen_golden(args) -> int:
 
 
 def cmd_compare(args) -> int:
+    # The agreement contract is exact f64 arithmetic vs the C++ engine, so
+    # run the JAX engine on the host CPU even when a TPU is attached (TPU
+    # f64 is emulated and the Pallas engine is f32-only).  Must be decided
+    # before jax initializes its backends.
     import jax
+    jax.config.update("jax_platforms", "cpu")
+    if jax.default_backend() != "cpu":  # backends were already initialized
+        print("warning: jax already initialized on an accelerator; "
+              "re-run with JAX_PLATFORMS=cpu for the exact-f64 comparison",
+              file=sys.stderr)
 
     from . import native
     from .config import load_config
@@ -63,6 +72,7 @@ def cmd_compare(args) -> int:
     nat_tally = float(nsim.tally.sum())
 
     jsim = Simulation(cfg, quiet=True)
+    jsim.use_pallas = False
     jax_events = []
     for tt in range(1, cfg.niters + 1):
         m = jsim.step(tt)
