@@ -46,9 +46,11 @@ def run(sim, tt, acc):
     min_cap = sim.compact_min
     rc, rv, rn = make_rings(part.n, sim.tally.dtype)
     while True:
+        max_sw = (sim.chunk_sweeps if part.n > 262144
+                  else sim.chunk_sweeps * 8)
         out, _ = timed(f"chunk@{part.n}", pallas_sweep_chunk, part, sim.tally,
                        counts, rc, rv, rn, sim.cs_scatter, sim.cs_absorb,
-                       sim.geom, master_key, inv_ntotal, sim.chunk_sweeps,
+                       sim.geom, master_key, inv_ntotal, max_sw,
                        k_events=sim.k_events, acc=acc)
         part, sim.tally, counts, rc, rv, rn, done, any_live = out
         if sel is None:
@@ -86,9 +88,9 @@ def main():
     os.chdir(here)
     cfg = load_config("problems/scatter.params")
     sim = Simulation(cfg, quiet=True)
-    # Warmup: full two-step run via the real driver path.
+    # Warmup: the same phase-instrumented loop (compiles all ITS shapes).
     for tt in (1, 2):
-        sim.step(tt)
+        run(sim, tt, {})
     # Fresh sim, measured with phase timers.
     sim = Simulation(cfg, quiet=True)
     acc = {}

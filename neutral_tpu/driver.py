@@ -39,10 +39,10 @@ from .profiler import Profile
 from .transport import Geometry
 from .xs import CrossSection
 
-# Pad particle batches to a multiple of the VPU lane tile (8 sublanes x 128
-# lanes) so XLA never peels a ragged remainder.
-# multiple of the Pallas sweep block (32 rows x 128 lanes)
-_LANE_PAD = 4096
+# Pad particle batches to a multiple of the Pallas sweep block
+# (64 rows x 128 lanes) so the fused kernel always gets whole blocks and
+# XLA never peels a ragged remainder.
+_LANE_PAD = 8192
 
 
 def enable_compilation_cache() -> None:
@@ -367,17 +367,24 @@ class Simulation(SimulationBase):
         if use_pallas:
             rc, rv, rn = make_rings(part.n, self.tally.dtype)
         while True:
+            # Small working sets sweep cheaply but pay full host-dispatch
+            # latency per chunk; give the long-tail widths 8x the sweep
+            # budget per dispatch (the bound exists to keep single XLA
+            # executions short, and 2048 sweeps at <=256k lanes is still
+            # far quicker than 256 sweeps at full width).
+            max_sw = (self.chunk_sweeps if part.n > 262144
+                      else self.chunk_sweeps * 8)
             if use_pallas:
                 (part, self.tally, counts, rc, rv, rn, done,
                  any_live) = pallas_sweep_chunk(
                     part, self.tally, counts, rc, rv, rn, self.cs_scatter,
                     self.cs_absorb, self.geom, master_key, inv_ntotal,
-                    self.chunk_sweeps, k_events=self.k_events)
+                    max_sw, k_events=self.k_events)
             else:
                 part, self.tally, counts, done, any_live = sweep_chunk(
                     part, self.tally, counts, self.mesh, self.cs_scatter,
                     self.cs_absorb, self.geom, master_key, inv_ntotal,
-                    self.chunk_sweeps,
+                    max_sw,
                     events_per_sweep=self.events_per_sweep)
             nsweeps += int(done)
             if use_pallas and sel is None:

@@ -268,7 +268,7 @@ class ShardedSimulation(driver_mod.SimulationBase):
         # of any particle (reproducibility across topologies).
         n = cfg.nparticles
         per_shard = -(-n // nshards)
-        per_shard = ((per_shard + 4095) // 4096) * 4096
+        per_shard = ((per_shard + 8191) // 8192) * 8192
         total = per_shard * nshards
         state = inject_particles(
             self.mesh2d, nparticles=n,

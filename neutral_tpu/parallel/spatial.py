@@ -182,7 +182,7 @@ class SpatialSimulation(driver_mod.SimulationBase):
 
         owner = np.clip(np.asarray(state.celly) // self.rows, 0, nshards - 1)
         peak = int(np.bincount(owner, minlength=nshards).max())
-        self.cap = max(((2 * peak + 4095) // 4096) * 4096, 4096)
+        self.cap = max(((2 * peak + 8191) // 8192) * 8192, 8192)
         self.cap_xfer = max(self.cap // 8, 1024)
         packed = _partition_by_slab(state, nshards, self.rows, self.cap)
 
