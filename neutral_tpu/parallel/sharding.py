@@ -206,6 +206,58 @@ def pallas_sweep_chunk_sharded(state: ParticleState, tally_parts,
 
 
 @partial(jax.jit, static_argnames=("mesh_axes",))
+def max_live_sharded(state: ParticleState, mesh_axes: Mesh):
+    """Max over shards of the per-shard working-lane count.
+
+    The compaction target must be one static size across the SPMD program,
+    so the ladder keys on the worst-loaded shard.
+    """
+    from ..particles import live_count
+
+    axis = mesh_axes.axis_names[0]
+
+    def shard_fn(s):
+        return jax.lax.pmax(live_count(s).astype(jnp.int32), axis)
+
+    fn = shard_map(shard_fn, mesh=mesh_axes, in_specs=(_state_spec(axis),),
+                   out_specs=P(), check_vma=False)
+    return fn(state)
+
+
+@partial(jax.jit, static_argnames=("new_size", "mesh_axes"))
+def select_working_sharded(state: ParticleState, new_size: int,
+                           mesh_axes: Mesh):
+    """Per-shard select_working to a common static per-shard size.
+
+    Returns (part, sel) with part sharded like state and sel carrying each
+    shard's local lane indices (sentinel = local slab length, dropped by
+    merge).  Caller must ensure new_size >= max_live_sharded(state).
+    """
+    from ..particles import select_working
+
+    axis = mesh_axes.axis_names[0]
+    pspec = _state_spec(axis)
+    fn = shard_map(lambda s: select_working(s, new_size), mesh=mesh_axes,
+                   in_specs=(pspec,), out_specs=(pspec, P(axis)),
+                   check_vma=False)
+    return fn(state)
+
+
+@partial(jax.jit, static_argnames=("mesh_axes",))
+def merge_compacted_sharded(full: ParticleState, part: ParticleState,
+                            sel, mesh_axes: Mesh) -> ParticleState:
+    """Per-shard merge of a compacted slice back into the full slabs."""
+    from ..particles import merge_compacted
+
+    axis = mesh_axes.axis_names[0]
+    pspec = _state_spec(axis)
+    fn = shard_map(merge_compacted, mesh=mesh_axes,
+                   in_specs=(pspec, pspec, P(axis)),
+                   out_specs=pspec, check_vma=False)
+    return fn(full, part, sel)
+
+
+@partial(jax.jit, static_argnames=("mesh_axes",))
 def drain_rings_sharded(tally_parts, ring_cell, ring_val, ring_cnt,
                         mesh_axes: Mesh):
     """Flush every shard's pending ring into its private tally row."""
@@ -290,6 +342,16 @@ class ShardedSimulation(driver_mod.SimulationBase):
         # Injection is init work, not step-1 work (see driver.Simulation).
         jax.block_until_ready(self.state)
 
+    def _fresh_rings(self, total: int, S: int):
+        """Empty pending-flush rings sharded alongside `total` lanes."""
+        col = NamedSharding(self.device_mesh, P(None, self.axis))
+        lane = NamedSharding(self.device_mesh, P(self.axis))
+        rc = jax.device_put(jnp.full((S, total), -1, jnp.int32), col)
+        rv = jax.device_put(
+            jnp.zeros((S, total), self.tally_parts.dtype), col)
+        rn = jax.device_put(jnp.zeros((total,), jnp.int32), lane)
+        return rc, rv, rn
+
     def step(self, tt: int):
         """Chunk-dispatched sharded census step; returns StepMetrics."""
         self.profile.start()
@@ -301,44 +363,71 @@ class ShardedSimulation(driver_mod.SimulationBase):
         nsweeps = 0
         inv_ntotal = 1.0 / self.cfg.nparticles
 
-        if self.use_pallas:
-            S = 16
-            total = self.state.x.shape[0]
-            col = NamedSharding(self.device_mesh, P(None, self.axis))
-            lane = NamedSharding(self.device_mesh, P(self.axis))
-            rc = jax.device_put(jnp.full((S, total), -1, jnp.int32), col)
-            rv = jax.device_put(
-                jnp.zeros((S, total), self.tally_parts.dtype), col)
-            rn = jax.device_put(jnp.zeros((total,), jnp.int32), lane)
-            while True:
-                (self.state, self.tally_parts, c_rows, rc, rv, rn, done,
+        nshards = self.device_mesh.devices.size
+        use_pallas = self.use_pallas
+        S = 16
+        if use_pallas:
+            rc, rv, rn = self._fresh_rings(self.state.x.shape[0], S)
+
+        # Per-shard live-lane compaction (mirrors driver.Simulation.step):
+        # the target is one static per-shard size keyed on the worst-loaded
+        # shard, so the SPMD program stays uniform.  pid-keyed RNG makes
+        # the reordering physically invisible.
+        part, sel = self.state, None
+        full = part
+        min_cap = self.compact_min
+        while True:
+            per_shard = part.x.shape[0] // nshards
+            max_sw = (self.chunk_sweeps if per_shard > 262144
+                      else self.chunk_sweeps * 8)
+            if use_pallas:
+                (part, self.tally_parts, c_rows, rc, rv, rn, done,
                  any_live) = pallas_sweep_chunk_sharded(
-                    self.state, self.tally_parts, rc, rv, rn,
+                    part, self.tally_parts, rc, rv, rn,
                     self.cs_scatter, self.cs_absorb, self.geom, master_key,
-                    inv_ntotal, self.device_mesh, self.chunk_sweeps,
+                    inv_ntotal, self.device_mesh, max_sw,
                     k_events=self.k_events)
-                dnf, dnc = combine_count_rows(c_rows)
-                nf += dnf
-                nc += dnc
-                nsweeps += int(done)
-                if not bool(any_live):
-                    break
+            else:
+                (part, self.tally_parts, c_rows, done,
+                 any_live) = sweep_chunk_sharded(
+                    part, self.tally_parts, self.mesh2d,
+                    self.cs_scatter, self.cs_absorb, self.geom, master_key,
+                    inv_ntotal, self.device_mesh, max_sw,
+                    events_per_sweep=self.events_per_sweep)
+            dnf, dnc = combine_count_rows(c_rows)
+            nf += dnf
+            nc += dnc
+            nsweeps += int(done)
+            if sel is None:
+                full = part  # chunk inputs are donated; keep live buffers
+            if not bool(any_live):
+                break
+            if self.compact_enabled and per_shard > min_cap:
+                live = int(max_live_sharded(part, self.device_mesh))
+                target = max(min_cap,
+                             1 << (max(live, 1) - 1).bit_length())
+                if target <= per_shard // 2:
+                    if use_pallas:
+                        (self.tally_parts, rc, rv, rn) = drain_rings_sharded(
+                            self.tally_parts, rc, rv, rn, self.device_mesh)
+                    if sel is not None:
+                        full = merge_compacted_sharded(full, part, sel,
+                                                       self.device_mesh)
+                    else:
+                        full = part
+                    part, sel = select_working_sharded(full, target,
+                                                       self.device_mesh)
+                    if use_pallas:
+                        rc, rv, rn = self._fresh_rings(target * nshards, S)
+        if use_pallas:
             (self.tally_parts, rc, rv, rn) = drain_rings_sharded(
                 self.tally_parts, rc, rv, rn, self.device_mesh)
+        if sel is not None:
+            full = merge_compacted_sharded(full, part, sel,
+                                           self.device_mesh)
         else:
-            while True:
-                (self.state, self.tally_parts, c_rows, done,
-                 any_live) = sweep_chunk_sharded(
-                    self.state, self.tally_parts, self.mesh2d,
-                    self.cs_scatter, self.cs_absorb, self.geom, master_key,
-                    inv_ntotal, self.device_mesh, self.chunk_sweeps,
-                    events_per_sweep=self.events_per_sweep)
-                dnf, dnc = combine_count_rows(c_rows)
-                nf += dnf
-                nc += dnc
-                nsweeps += int(done)
-                if not bool(any_live):
-                    break
+            full = part
+        self.state = full
         jax.block_until_ready(self.tally_parts)
         step_time = self.profile.stop(f"step{tt}")
         m = driver_mod.StepMetrics(

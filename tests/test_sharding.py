@@ -50,6 +50,26 @@ def test_sharded_matches_single_device():
     np.testing.assert_allclose(m_tally, s_tally, rtol=1e-9, atol=1e-300)
 
 
+def test_sharded_compaction_invisible():
+    """Per-shard compaction changes nothing physically (pid-keyed RNG)."""
+    cfg = cfg64()
+    ref = ShardedSimulation(cfg, quiet=True)
+    ref.compact_enabled = False
+    for tt in (1, 2):
+        rm = ref.step(tt)
+
+    sim = ShardedSimulation(cfg, quiet=True)
+    sim.compact_min = 1024   # force the ladder at test scale
+    sim.chunk_sweeps = 8     # several chunk rounds -> several compactions
+    for tt in (1, 2):
+        m = sim.step(tt)
+
+    assert (m.nfacets, m.ncollisions) == (rm.nfacets, rm.ncollisions)
+    np.testing.assert_allclose(
+        np.asarray(sim.tally, np.float64), np.asarray(ref.tally, np.float64),
+        rtol=1e-12, atol=1e-300)
+
+
 def test_device_mesh_subsets():
     mesh2 = make_device_mesh(2)
     assert mesh2.devices.size == 2
