@@ -457,9 +457,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--mesh-scale", type=int, default=None,
                    help="divide nx/ny by this factor (quick runs)")
     p.add_argument("--checkpoint", default=None,
-                   help="write a checkpoint npz after the final step")
+                   help="write a checkpoint after the final step "
+                        "(.npz suffix = single-file numpy backend, "
+                        "otherwise an Orbax directory)")
     p.add_argument("--restore", default=None,
-                   help="resume from a checkpoint npz")
+                   help="resume from a checkpoint (npz file or Orbax "
+                        "directory)")
     p.add_argument("--trace-dir", default=None,
                    help="jax.profiler trace output directory")
     p.add_argument("--backend", default="jax", choices=["jax", "native"],

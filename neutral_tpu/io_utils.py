@@ -79,7 +79,12 @@ def save_checkpoint(path: str, state: ParticleState, tally: np.ndarray,
     `coords` records the x/y convention ("global" or "cell-local", the f32
     fast-path representation) so a restore into a differently-configured
     simulation fails loudly instead of silently misplacing particles.
+
+    Paths without a .npz suffix select the Orbax directory backend.
     """
+    if _is_orbax_path(path):
+        return save_checkpoint_orbax(path, state, tally, step,
+                                     elapsed_sim_time, coords=coords)
     payload = {f: np.asarray(getattr(state, f)) for f in _STATE_FIELDS}
     payload["tally"] = np.asarray(tally)
     payload["step"] = np.int64(step)
@@ -93,6 +98,8 @@ def save_checkpoint(path: str, state: ParticleState, tally: np.ndarray,
 
 def load_checkpoint(path: str, expect_coords: str = "global"):
     """Returns (state, tally, step, elapsed_sim_time) as host arrays."""
+    if os.path.isdir(path):
+        return load_checkpoint_orbax(path, expect_coords=expect_coords)
     with np.load(path) as z:
         coords = (z["coords"].item().decode()
                   if "coords" in z.files else "global")
@@ -104,3 +111,52 @@ def load_checkpoint(path: str, expect_coords: str = "global"):
         state = ParticleState(**{f: z[f] for f in _STATE_FIELDS})
         return (state, z["tally"], int(z["step"]),
                 float(z["elapsed_sim_time"]))
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (directory checkpoints)
+#
+# The npz backend is a single host-side file — simple and exact, but it
+# funnels every shard through one process.  The Orbax backend writes a
+# standard orbax.checkpoint directory instead: on multi-host pods each
+# process writes its own shards in parallel (orbax handles the cross-host
+# commit protocol), which is the TPU-native answer for large sharded
+# particle states.  Selected whenever the checkpoint path has no .npz
+# suffix (directory checkpoints); both backends carry the same payload.
+# ---------------------------------------------------------------------------
+
+def _is_orbax_path(path: str) -> bool:
+    return not path.endswith(".npz")
+
+
+def save_checkpoint_orbax(path: str, state: ParticleState,
+                          tally: np.ndarray, step: int,
+                          elapsed_sim_time: float,
+                          coords: str = "global") -> None:
+    import orbax.checkpoint as ocp
+
+    payload = {f: np.asarray(getattr(state, f)) for f in _STATE_FIELDS}
+    payload["tally"] = np.asarray(tally)
+    payload["step"] = np.int64(step)
+    payload["elapsed_sim_time"] = np.float64(elapsed_sim_time)
+    # Orbax stores arrays; encode the convention as a tiny metadata array.
+    payload["coords_is_local"] = np.int8(coords == "cell-local")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(path: str, expect_coords: str = "global"):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    z = ckptr.restore(os.path.abspath(path))
+    coords = "cell-local" if int(z.get("coords_is_local", 0)) else "global"
+    if coords != expect_coords:
+        raise ValueError(
+            f"checkpoint stores {coords!r} coordinates but this "
+            f"simulation uses {expect_coords!r} (dtype/fast_math "
+            "mismatch between save and restore configs)")
+    state = ParticleState(**{f: np.asarray(z[f]) for f in _STATE_FIELDS})
+    return (state, np.asarray(z["tally"]), int(z["step"]),
+            float(z["elapsed_sim_time"]))

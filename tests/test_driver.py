@@ -81,6 +81,26 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(full, resumed)
 
 
+def test_checkpoint_roundtrip_orbax(tmp_path):
+    """Same roundtrip through the Orbax directory backend (no .npz suffix)."""
+    cfg = small_cfg(niters=2)
+    a = Simulation(cfg, quiet=True)
+    a.step(1)
+    a.step(2)
+    full = np.asarray(a.tally)
+
+    b = Simulation(cfg, quiet=True)
+    b.step(1)
+    ckpt = str(tmp_path / "state_ckpt")
+    b.checkpoint(ckpt, 1)
+    assert os.path.isdir(ckpt)
+
+    c = Simulation(cfg, quiet=True)
+    assert c.restore(ckpt) == 1
+    c.step(2)
+    np.testing.assert_array_equal(full, np.asarray(c.tally))
+
+
 def test_bov_writer(tmp_path):
     field = np.arange(12, dtype=np.float64).reshape(3, 4)
     base = str(tmp_path / "energy1")
