@@ -80,6 +80,13 @@ def threefry2x64(c0: int, c1: int, k0: int, k1: int) -> tuple[int, int]:
     return o0.value, o1.value
 
 
+def pcg64si_first(seed: int) -> int:
+    """First output of a freshly seeded native PCG64si stream."""
+    lib = _load()
+    lib.nt_pcg64si_first.restype = ctypes.c_uint64
+    return lib.nt_pcg64si_first(ctypes.c_uint64(seed))
+
+
 def draw2(pid: int, master_key: int, counter: int) -> tuple[float, float]:
     lib = _load()
     r0 = ctypes.c_double()
@@ -121,6 +128,9 @@ class NativeSimulation:
         from ..xs import make_resonance_table
 
         self.cfg = cfg
+        # RNG stream scheme: threefry (omp3/omp4/cuda family) or pcg64si
+        # (oacc/raja family) — same selector as the JAX engine (cfg.rng).
+        self._scheme = 1 if getattr(cfg, "rng", "threefry") == "pcg64si" else 0
         self.density = build_density(cfg, dtype=np.float64)
         self.edgex = (np.arange(cfg.nx + 1, dtype=np.float64)
                       * (cfg.width / cfg.nx))
@@ -140,7 +150,8 @@ class NativeSimulation:
             ctypes.c_double(cfg.source.width * cfg.width),
             ctypes.c_double(cfg.source.height * cfg.height),
             ctypes.c_double(cfg.initial_energy), ctypes.c_double(cfg.dt),
-            ctypes.byref(self.state._struct()))
+            ctypes.byref(self.state._struct()),
+            ctypes.c_int(self._scheme))
 
     def step(self, tt: int) -> tuple[int, int, int]:
         """One census timestep; returns (nfacets, ncollisions, nprocessed)."""
@@ -162,7 +173,8 @@ class NativeSimulation:
             ctypes.c_double(cfg.dt), ctypes.c_uint64(tt),
             ctypes.c_int64(cfg.nparticles),
             self.tally.ctypes.data_as(dp),
-            ctypes.byref(nf), ctypes.byref(nc), ctypes.byref(npr))
+            ctypes.byref(nf), ctypes.byref(nc), ctypes.byref(npr),
+            ctypes.c_int(self._scheme))
         return nf.value, nc.value, npr.value
 
     def run(self) -> float:

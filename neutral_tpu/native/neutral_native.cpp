@@ -62,8 +62,36 @@ inline void threefry2x64(uint64_t c0, uint64_t c1, uint64_t k0, uint64_t k1,
 constexpr double kF64 = 5.421010862427522e-20;   // 2^-64
 constexpr double kHalfF64 = 2.710505431213761e-20;  // 2^-65
 
-inline void draw2(uint64_t pid, uint64_t master_key, uint64_t counter,
-                  double* r0, double* r1) {
+// ---------------------------------------------------------------------------
+// PCG64si (pcg_oneseq_64_rxs_m_xs_64) — the RNG scheme of the reference's
+// oacc/raja backends, which seed a FRESH generator per draw with
+// seed = counter + 1e15*master_key + 1e4*pid (oacc/neutral.c:710-719).
+// Public algorithm (M.E. O'Neill); independent implementation.
+// ---------------------------------------------------------------------------
+
+constexpr uint64_t kPcgMult = 6364136223846793005ULL;
+constexpr uint64_t kPcgInc = 1442695040888963407ULL;
+constexpr uint64_t kPcgOutMult = 12605985483714917081ULL;
+
+inline uint64_t pcg64si_first(uint64_t seed) {
+  const uint64_t state = (kPcgInc + seed) * kPcgMult + kPcgInc;
+  const uint64_t word =
+      ((state >> ((state >> 59) + 5)) ^ state) * kPcgOutMult;
+  return (word >> 43) ^ word;
+}
+
+// scheme: 0 = threefry (omp3/omp4/cuda backends), 1 = pcg64si (oacc/raja).
+// The pcg pair at counter c uses per-draw seeds 2c and 2c+1 — the same
+// pair-based bookkeeping as the JAX engine (rng.uniform2_pcg_*).
+inline void draw2(int scheme, uint64_t pid, uint64_t master_key,
+                  uint64_t counter, double* r0, double* r1) {
+  if (scheme == 1) {
+    const uint64_t base =
+        1000000000000000ULL * master_key + 10000ULL * pid + 2ULL * counter;
+    *r0 = static_cast<double>(pcg64si_first(base)) * kF64 + kHalfF64;
+    *r1 = static_cast<double>(pcg64si_first(base + 1)) * kF64 + kHalfF64;
+    return;
+  }
   uint64_t v0, v1;
   threefry2x64(counter, 0, pid, master_key, &v0, &v1);
   *r0 = static_cast<double>(v0) * kF64 + kHalfF64;
@@ -133,11 +161,11 @@ extern "C" {
 void nt_inject(int64_t nparticles, const double* edgex, const double* edgey,
                int nx, int ny, double source_x0, double source_y0,
                double source_w, double source_h, double initial_energy,
-               double dt, Particles* p) {
+               double dt, Particles* p, int rng_scheme) {
 #pragma omp parallel for schedule(static)
   for (int64_t k = 0; k < nparticles; ++k) {
     double r0, r1, t0, t1;
-    draw2(static_cast<uint64_t>(k), 0, 0, &r0, &r1);
+    draw2(rng_scheme, static_cast<uint64_t>(k), 0, 0, &r0, &r1);
     const double x = source_x0 + r0 * source_w;
     const double y = source_y0 + r1 * source_h;
     // cell via binary search on the (possibly non-uniform) edges
@@ -157,7 +185,7 @@ void nt_inject(int64_t nparticles, const double* edgex, const double* edgey,
     p->y[k] = y;
     p->cellx[k] = locate(edgex, nx, x);
     p->celly[k] = locate(edgey, ny, y);
-    draw2(static_cast<uint64_t>(k), 0, 1, &t0, &t1);
+    draw2(rng_scheme, static_cast<uint64_t>(k), 0, 1, &t0, &t1);
     const double theta = 2.0 * M_PI * t0;
     p->omega_x[k] = std::cos(theta);
     p->omega_y[k] = std::sin(theta);
@@ -177,7 +205,7 @@ void nt_timestep(int64_t nparticles, Particles* p, const double* density,
                  const double* a_keys, const double* a_vals, int a_n,
                  double dt, uint64_t master_key, int64_t ntotal_particles,
                  double* tally, uint64_t* nfacets, uint64_t* ncollisions,
-                 uint64_t* nprocessed) {
+                 uint64_t* nprocessed, int rng_scheme) {
   const Table cs_scatter{s_keys, s_vals, s_n};
   const Table cs_absorb{a_keys, a_vals, a_n};
   const double inv_ntotal = 1.0 / static_cast<double>(ntotal_particles);
@@ -210,7 +238,8 @@ void nt_timestep(int64_t nparticles, Particles* p, const double* density,
     // fresh census clock + mean free path (draw counter 0)
     double dt_to_census = dt;
     double r0, r1;
-    draw2(static_cast<uint64_t>(pp), master_key, counter++, &r0, &r1);
+    draw2(rng_scheme, static_cast<uint64_t>(pp), master_key, counter++,
+          &r0, &r1);
     double mfp = -std::log(r0) / mac_s;
 
     auto seg_deposit = [&](double dist) {
@@ -251,7 +280,8 @@ void nt_timestep(int64_t nparticles, Particles* p, const double* density,
         x += d_coll * ox;
         y += d_coll * oy;
         const double p_absorb = mac_a / (mac_s + mac_a);
-        draw2(static_cast<uint64_t>(pp), master_key, counter++, &r0, &r1);
+        draw2(rng_scheme, static_cast<uint64_t>(pp), master_key, counter++,
+              &r0, &r1);
         if (r0 < p_absorb) {
           weight *= (1.0 - p_absorb);
           if (energy < kMinEnergy) {
@@ -277,7 +307,8 @@ void nt_timestep(int64_t nparticles, Particles* p, const double* density,
         sig_a = cs_absorb.lookup(energy);
         mac_s = number_density * sig_s * kBarns;
         mac_a = number_density * sig_a * kBarns;
-        draw2(static_cast<uint64_t>(pp), master_key, counter++, &r0, &r1);
+        draw2(rng_scheme, static_cast<uint64_t>(pp), master_key, counter++,
+              &r0, &r1);
         mfp = -std::log(r0) / mac_s;
         dt_to_census -= d_coll / speed;
         speed = speed_of(energy);
@@ -375,7 +406,9 @@ void nt_threefry2x64(uint64_t c0, uint64_t c1, uint64_t k0, uint64_t k1,
 
 void nt_draw2(uint64_t pid, uint64_t master_key, uint64_t counter, double* r0,
               double* r1) {
-  draw2(pid, master_key, counter, r0, r1);
+  draw2(0, pid, master_key, counter, r0, r1);
 }
+
+uint64_t nt_pcg64si_first(uint64_t seed) { return pcg64si_first(seed); }
 
 }  // extern "C"

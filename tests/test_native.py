@@ -59,3 +59,37 @@ def test_native_vs_python_oracle_bitwise():
                                np.array([p.x for p in parts]), rtol=1e-13)
     np.testing.assert_array_equal(sim.state.cellx,
                                   np.array([p.cellx for p in parts]))
+
+
+def test_native_pcg64si_bitwise():
+    """Native pcg64si_first matches the Python int oracle bit-for-bit."""
+    for seed in (0, 1, 42, 10**15 + 10**4 + 6, 2**63, 2**64 - 1):
+        assert native.pcg64si_first(seed) == rng.pcg64si_py(seed)
+
+
+def test_native_pcg_scheme_matches_jax_engine():
+    """Native engine under rng=pcg64si agrees exactly with the f64 JAX engine."""
+    import jax
+
+    from neutral_tpu.driver import Simulation
+
+    jax.config.update("jax_enable_x64", True)
+    n = 300
+    cfg = SimConfig(nx=40, ny=40, dt=1e-7, niters=2, nparticles=n,
+                    initial_energy=1.0e4, rng="pcg64si",
+                    source=SourceBox(0.1, 0.1, 0.2, 0.2),
+                    problems=(ProblemRegion(1.0e2, 0.0, 0.0, 1.0, 1.0),
+                              ProblemRegion(1.0e4, 0.4, 0.4, 0.2, 0.2)),
+                    dtype="float64", tally_dtype="float64")
+    nsim = native.NativeSimulation(cfg)
+    nat_ev = [nsim.step(tt) for tt in (1, 2)]
+
+    jsim = Simulation(cfg, quiet=True)
+    jsim.use_pallas = False
+    for tt in (1, 2):
+        m = jsim.step(tt)
+        assert (m.nfacets, m.ncollisions) == (nat_ev[tt - 1][0],
+                                              nat_ev[tt - 1][1])
+    np.testing.assert_allclose(
+        np.asarray(jsim.tally, np.float64).sum(), nsim.tally.sum(),
+        rtol=1e-13)
