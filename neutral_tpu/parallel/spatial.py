@@ -28,7 +28,10 @@ feature, TPU-native:
 Capacity: each shard's lane arrays get 2x the peak initial occupancy as
 headroom; migrated-away lanes leave dead husks that become free slots, so
 steady-state churn is self-balancing.  If a receive ever finds no free
-slot, an error flag aborts the run loudly (no silent particle loss).
+slot the step pauses, doubles the per-shard capacity and repartitions all
+lanes by owner on the host, then resumes — no silent particle loss, and
+(pid-keyed RNG) no physical effect; after several doublings it aborts
+loudly instead (a capacity leak would otherwise grow unbounded).
 """
 
 from __future__ import annotations
@@ -81,23 +84,45 @@ def _partition_by_slab(state: ParticleState, nshards: int, rows: int,
 
 def _migrate(s: ParticleState, y_off, axis: str, nshards: int, rows: int,
              cap_xfer: int):
-    """One ±1-neighbor migration round.  Returns (state, pending, error)."""
+    """One ±1-neighbor migration round.  Returns (state, pending, stuck).
+
+    Flow control: each shard advertises its free-slot count to both
+    neighbors (two scalar ppermutes); senders ship at most what the
+    receiver's slot windows can absorb, so a receive can NEVER drop a
+    particle.  Lanes that don't fit stay frozen and retry next round;
+    `stuck` flags a round where a global backlog exists but nothing moved
+    (every receiver full) — the driver's cue to grow capacity and
+    repartition.
+    """
     live = (~s.dead) & (s.dt_to_census > 0)
     ly = s.celly - y_off
     go_up = live & (ly >= rows)
     go_dn = live & (ly < 0)
 
-    def pack(mask):
+    perm_up = [(i, i + 1) for i in range(nshards - 1)]
+    perm_dn = [(i + 1, i) for i in range(nshards - 1)]
+
+    # Receiver slot windows: from-below traffic lands in free[:cap_xfer],
+    # from-above in free[cap_xfer:2*cap_xfer].  Advertise the matching
+    # budgets to the senders (shards with no neighbor see budget 0).
+    nfree = jnp.count_nonzero(s.dead).astype(jnp.int32)
+    budget_below = jnp.minimum(nfree, cap_xfer)              # for sender s-1
+    budget_above = jnp.maximum(
+        jnp.minimum(nfree, 2 * cap_xfer) - cap_xfer, 0)      # for sender s+1
+    my_up_budget = lax.ppermute(budget_below, axis, perm_dn)  # from s+1
+    my_dn_budget = lax.ppermute(budget_above, axis, perm_up)  # from s-1
+
+    def pack(mask, budget):
         idx = jnp.nonzero(mask, size=cap_xfer, fill_value=-1)[0]
-        valid = idx >= 0
+        valid = (idx >= 0) & (jnp.arange(cap_xfer) < budget)
         safe = jnp.clip(idx, 0, None)
         buf = jax.tree_util.tree_map(lambda a: a[safe], s)
         return buf, valid, safe
 
-    buf_up, val_up, idx_up = pack(go_up)
-    buf_dn, val_dn, idx_dn = pack(go_dn)
+    buf_up, val_up, idx_up = pack(go_up, my_up_budget)
+    buf_dn, val_dn, idx_dn = pack(go_dn, my_dn_budget)
 
-    # Sender side: packed lanes become dead husks (free slots).  Invalid
+    # Sender side: shipped lanes become dead husks (free slots).  Invalid
     # pack slots are routed to an out-of-bounds sentinel and dropped —
     # clipping them to 0 would make duplicate writes race with a real
     # update of lane 0.
@@ -109,9 +134,6 @@ def _migrate(s: ParticleState, y_off, axis: str, nshards: int, rows: int,
                             ParticleState.__dataclass_fields__},
                          "dead": dead})
 
-    perm_up = [(i, i + 1) for i in range(nshards - 1)]
-    perm_dn = [(i + 1, i) for i in range(nshards - 1)]
-
     def shuffle(tree, perm):
         return jax.tree_util.tree_map(
             lambda a: lax.ppermute(a, axis, perm), tree)
@@ -121,7 +143,9 @@ def _migrate(s: ParticleState, y_off, axis: str, nshards: int, rows: int,
     recv_from_above = shuffle(buf_dn, perm_dn)   # arrives at shard s-1
     rv_above = lax.ppermute(val_dn, axis, perm_dn)
 
-    # Receiver side: thaw into free (dead) slots.
+    # Receiver side: thaw into free (dead) slots.  NOTE: the free list is
+    # computed AFTER senders marked shipped lanes dead, so it can only be
+    # larger than the advertised budget — placement cannot overflow.
     free = jnp.nonzero(s.dead, size=2 * cap_xfer, fill_value=-1)[0]
 
     def place(state, buf, valid, slots):
@@ -131,18 +155,20 @@ def _migrate(s: ParticleState, y_off, axis: str, nshards: int, rows: int,
         def put(f, b):
             return f.at[tgt].set(b, mode="drop")
 
-        out = jax.tree_util.tree_map(put, state, buf)
-        err = jnp.any(valid & (slots < 0))
-        return out, err
+        return jax.tree_util.tree_map(put, state, buf)
 
-    s, err1 = place(s, recv_from_below, rv_below, free[:cap_xfer])
-    s, err2 = place(s, recv_from_above, rv_above, free[cap_xfer:])
+    nmoved = (jnp.count_nonzero(val_up) + jnp.count_nonzero(val_dn))
+    s = place(s, recv_from_below, rv_below, free[:cap_xfer])
+    s = place(s, recv_from_above, rv_above, free[cap_xfer:])
 
     # Unshipped overflow lanes stay frozen and retry next round.
     live = (~s.dead) & (s.dt_to_census > 0)
     ly = s.celly - y_off
     pending = jnp.count_nonzero(live & ((ly < 0) | (ly >= rows)))
-    return s, pending, err1 | err2
+    pending_g = lax.psum(pending.astype(jnp.int32), axis)
+    moved_g = lax.psum(nmoved.astype(jnp.int32), axis)
+    stuck = (pending_g > 0) & (moved_g == 0)
+    return s, pending, stuck
 
 
 class SpatialSimulation(driver_mod.SimulationBase):
@@ -257,18 +283,40 @@ class SpatialSimulation(driver_mod.SimulationBase):
         return fn(state, tally_parts)
 
     # ------------------------------------------------------------------
+    def _repartition(self, cap: int) -> None:
+        """Regroup every live lane onto its owner shard at a new capacity.
+
+        Physically invisible (histories are pid-keyed); clears any frozen
+        out-of-slab backlog in one stroke, so it doubles as the overflow
+        recovery path.
+        """
+        host = jax.tree_util.tree_map(np.asarray, self.state)
+        packed = _partition_by_slab(host, self.nshards, self.rows, cap)
+        self.cap = cap
+        self.cap_xfer = max(cap // 8, 1024)
+        shard_sharding = NamedSharding(self.device_mesh, P(self.axis))
+        self.state = jax.tree_util.tree_map(
+            lambda a: jax.device_put(jnp.asarray(a), shard_sharding), packed)
+
     def step(self, tt: int):
         self.profile.start()
         mk = jnp.uint32(tt)
         self.state, nprocessed = self._begin(self.state, mk)
         nf = nc = nsweeps = 0
+        grows = 0
         while True:
             (self.state, self.tally_parts, c_rows, done, work,
              err) = self._chunk(self.state, self.tally_parts, mk)
             if int(err):
-                raise RuntimeError(
-                    "particle migration overflow: shard lane capacity "
-                    "exhausted (raise cap headroom)")
+                grows += 1
+                if grows > 6:
+                    raise RuntimeError(
+                        "particle migration overflow persists after "
+                        f"{grows - 1} capacity doublings — aborting")
+                self._print(f"migration overflow: growing shard capacity "
+                            f"{self.cap} -> {2 * self.cap}, repartitioning")
+                self._repartition(2 * self.cap)
+                continue
             dnf, dnc = combine_count_rows(c_rows)
             nf += dnf
             nc += dnc

@@ -101,3 +101,49 @@ def test_spatial_pallas_interpret_matches_single():
     np.testing.assert_allclose(
         np.asarray(single.tally, np.float64).sum(),
         np.asarray(spatial.tally, np.float64).sum(), rtol=1e-6)
+
+
+def test_spatial_tiny_transfer_budget_conserves():
+    """Flow-controlled migration: a tiny cap_xfer backlogs but never drops.
+
+    Receivers advertise free-slot budgets, so unshipped lanes retry across
+    rounds; the run must still match the single-device engine exactly.
+    """
+    cfg = SimConfig(nx=64, ny=64, dt=2e-7, niters=1, nparticles=1500,
+                    initial_energy=1.0e6,
+                    source=SourceBox(0.4, 0.05, 0.2, 0.1),
+                    problems=(ProblemRegion(1.0e-2, 0.0, 0.0, 1.0, 1.0),),
+                    dtype="float64", tally_dtype="float64")
+    single = Simulation(cfg, quiet=True)
+    single.step(1)
+
+    spatial = SpatialSimulation(cfg, quiet=True)
+    spatial.cap_xfer = 16    # before the first _chunk trace
+    m = spatial.step(1)
+    a = single.step_metrics[-1]
+    assert (a.nfacets, a.ncollisions) == (m.nfacets, m.ncollisions)
+    np.testing.assert_allclose(
+        np.asarray(single.tally, np.float64),
+        np.asarray(spatial.tally, np.float64).reshape(-1),
+        rtol=1e-12, atol=1e-300)
+
+
+def test_spatial_repartition_invisible():
+    """Capacity growth + owner repartition mid-run changes nothing."""
+    cfg = SimConfig(nx=64, ny=64, dt=2e-7, niters=2, nparticles=1500,
+                    initial_energy=1.0e6,
+                    source=SourceBox(0.4, 0.05, 0.2, 0.1),
+                    problems=(ProblemRegion(1.0e-2, 0.0, 0.0, 1.0, 1.0),),
+                    dtype="float64", tally_dtype="float64")
+    single, _ = _run_pair(cfg)
+
+    spatial = SpatialSimulation(cfg, quiet=True)
+    spatial.step(1)
+    spatial._repartition(2 * spatial.cap)
+    spatial.step(2)
+    for a, b in zip(single.step_metrics, spatial.step_metrics):
+        assert (a.nfacets, a.ncollisions) == (b.nfacets, b.ncollisions)
+    np.testing.assert_allclose(
+        np.asarray(single.tally, np.float64),
+        np.asarray(spatial.tally, np.float64).reshape(-1),
+        rtol=1e-12, atol=1e-300)
