@@ -473,10 +473,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="sweep engine for the jax backend (auto = fused "
                         "Pallas kernel on TPU when fast_math)")
     p.add_argument("--decomposition", default="replicated",
-                   choices=["replicated", "spatial"],
+                   choices=["replicated", "spatial", "spatial2d"],
                    help="multi-device strategy: replicated mesh with "
-                        "sharded particles (reference master semantics) or "
-                        "spatial slabs with particle migration")
+                        "sharded particles (reference master semantics), "
+                        "spatial y-slabs, or 2D (x,y) blocks — both with "
+                        "flow-controlled particle migration")
     args = p.parse_args(argv)
 
     cfg = load_config(args.params)
@@ -510,6 +511,12 @@ def main(argv: list[str] | None = None) -> int:
             sim = SpatialSimulation(cfg,
                                     events_per_sweep=args.events_per_sweep)
             print(f"Spatial slab decomposition over {len(devs)} devices.")
+        elif args.decomposition == "spatial2d":
+            from .parallel import Spatial2DSimulation
+            sim = Spatial2DSimulation(cfg,
+                                      events_per_sweep=args.events_per_sweep)
+            print(f"Spatial 2D decomposition over {len(devs)} devices "
+                  f"({sim.py}x{sim.px}).")
         else:
             from .parallel import ShardedSimulation
             sim = ShardedSimulation(cfg,

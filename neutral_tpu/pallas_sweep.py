@@ -56,8 +56,8 @@ _NF = len(_FIELDS)
 
 def _kernel(geom: Geometry, scatter_tab: CrossSection,
             absorb_tab: CrossSection, inv_ntotal: float, k_events: int,
-            ring_slots: int, tally_dtype, has_slab: bool, mk_ref, yoff_ref,
-            *refs):
+            ring_slots: int, tally_dtype, has_slab: bool, has_col: bool,
+            mk_ref, xoff_ref, yoff_ref, *refs):
     in_refs = refs[:_NF]
     rc_in, rv_in, rn_in = refs[_NF:_NF + 3]
     out_refs = refs[_NF + 3:2 * _NF + 3]
@@ -67,6 +67,7 @@ def _kernel(geom: Geometry, scatter_tab: CrossSection,
     vals["dead"] = vals["dead"] != 0
     state = ParticleState(**vals)
     mk = mk_ref[0, 0]
+    x_off = xoff_ref[0, 0] if has_col else None
     y_off = yoff_ref[0, 0] if has_slab else None
 
     # Ring rows held as separate 2D values (a `.at[s].set` on a loaded 3D
@@ -83,7 +84,7 @@ def _kernel(geom: Geometry, scatter_tab: CrossSection,
         gate = slot < ring_slots
         state, flush, flat_cell, contrib, is_facet, is_coll = sweep_core(
             state, None, geom, scatter_tab, absorb_tab, mk, inv_ntotal,
-            tally_dtype, y_off_dyn=y_off, gate=gate)
+            tally_dtype, y_off_dyn=y_off, gate=gate, x_off_dyn=x_off)
         # Ring insert: per-lane dynamic slot via an S-way select chain
         # (everything stays in VMEM; no scatter).
         for s in range(ring_slots):
@@ -112,7 +113,7 @@ def pallas_multi_sweep(state: ParticleState, ring_cell, ring_val, ring_cnt,
                        geom: Geometry, master_key, inv_ntotal: float,
                        tally_dtype_arr, k_events: int = 8,
                        ring_slots: int = 16, interpret: bool = False,
-                       y_off=None):
+                       y_off=None, x_off=None):
     """Advance every lane through k_events events in one fused kernel.
 
     The caller owns the pending-flush ring (ring_cell/ring_val: (S, N),
@@ -168,18 +169,21 @@ def pallas_multi_sweep(state: ParticleState, ring_cell, ring_val, ring_cnt,
            jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.int32)))
 
     # Alias state + ring inputs onto their outputs: the kernel updates
-    # in place (no 600MB+ of copy traffic per call).  Inputs 0,1 are the
-    # SMEM scalars (master_key, y_off).
-    aliases = {i + 2: i for i in range(_NF + 3)}
+    # in place (no 600MB+ of copy traffic per call).  Inputs 0,1,2 are the
+    # SMEM scalars (master_key, x_off, y_off).
+    aliases = {i + 3: i for i in range(_NF + 3)}
 
     has_slab = y_off is not None
+    has_col = x_off is not None
+    xoff_in = (jnp.asarray(x_off, jnp.int32) if has_col
+               else jnp.int32(0)).reshape(1, 1)
     yoff_in = (jnp.asarray(y_off, jnp.int32) if has_slab
                else jnp.int32(0)).reshape(1, 1)
     out = pl.pallas_call(
         partial(_kernel, geom, scatter_tab, absorb_tab, inv_ntotal,
-                k_events, ring_slots, tally_dtype, has_slab),
+                k_events, ring_slots, tally_dtype, has_slab, has_col),
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
         + [state_spec] * _NF + [ring_spec, ring_spec, state_spec],
         out_specs=tuple([state_spec] * _NF)
         + (ring_spec, ring_spec, state_spec, state_spec, state_spec),
@@ -191,7 +195,8 @@ def pallas_multi_sweep(state: ParticleState, ring_cell, ring_val, ring_cnt,
         # buffered); raise the cap well clear of it — v5e has 128MB VMEM.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(jnp.asarray(master_key, jnp.uint32).reshape(1, 1), yoff_in, *ins)
+    )(jnp.asarray(master_key, jnp.uint32).reshape(1, 1), xoff_in, yoff_in,
+      *ins)
 
     new_vals = {}
     for f, arr in zip(_FIELDS, out[:_NF]):
@@ -311,7 +316,7 @@ def pallas_sweep_chunk(state: ParticleState, tally: jnp.ndarray,
                        absorb_tab: CrossSection, geom: Geometry,
                        master_key, inv_ntotal: float, max_sweeps: int,
                        k_events: int = 8, interpret: bool = False,
-                       y_off=None):
+                       y_off=None, x_off=None):
     """Bounded Pallas sweep chunk (the TPU fast path).
 
     Runs ceil(max_sweeps / k_events) fused kernel calls inside one
@@ -330,7 +335,7 @@ def pallas_sweep_chunk(state: ParticleState, tally: jnp.ndarray,
 
     def cond(carry):
         s, _, _, rc, rv, rn, it = carry
-        working = working_mask(s, geom, y_off)
+        working = working_mask(s, geom, y_off, x_off)
         return jnp.any(working) & (it < n_outer)
 
     def body(carry):
@@ -338,8 +343,8 @@ def pallas_sweep_chunk(state: ParticleState, tally: jnp.ndarray,
         s, rc, rv, rn, nf, nc = pallas_multi_sweep(
             s, rc, rv, rn, scatter_tab, absorb_tab, geom, master_key,
             inv_ntotal, t, k_events=k_events, ring_slots=S,
-            interpret=interpret, y_off=y_off)
-        working = working_mask(s, geom, y_off)
+            interpret=interpret, y_off=y_off, x_off=x_off)
+        working = working_mask(s, geom, y_off, x_off)
         paused = working & (rn >= S)
         npaused = jnp.count_nonzero(paused)
         all_stuck = jnp.any(working) & ~jnp.any(working & (rn < S))
@@ -361,6 +366,6 @@ def pallas_sweep_chunk(state: ParticleState, tally: jnp.ndarray,
              jnp.zeros((), jnp.int32))
     (state, tally, counts, ring_cell, ring_val, ring_cnt,
      n_done) = lax.while_loop(cond, body, carry)
-    any_live = jnp.any(working_mask(state, geom, y_off))
+    any_live = jnp.any(working_mask(state, geom, y_off, x_off))
     return (state, tally, counts, ring_cell, ring_val, ring_cnt,
             n_done * k_events, any_live)

@@ -2,4 +2,5 @@
 
 from .sharding import (ShardedSimulation, initialise_distributed,  # noqa: F401
                        make_device_mesh, run_timestep_sharded)
-from .spatial import SpatialSimulation  # noqa: F401
+from .spatial import (SpatialSimulation,  # noqa: F401
+                      Spatial2DSimulation)

@@ -82,22 +82,25 @@ def _partition_by_slab(state: ParticleState, nshards: int, rows: int,
         dead=deadflag.reshape(-1), pid=new.pid, counter=new.counter)
 
 
-def _migrate(s: ParticleState, y_off, axis: str, nshards: int, rows: int,
-             cap_xfer: int):
-    """One ±1-neighbor migration round.  Returns (state, pending, stuck).
+def _migrate_axis(s: ParticleState, field: str, off, axis: str,
+                  nshards: int, win: int, cap_xfer: int):
+    """One ±1-neighbor migration round along one mesh axis.
+
+    `field` is the owning cell coordinate ("celly" for slab rows along the
+    mesh axis, "cellx" for columns), `off`/`win` the shard's window.
+    Returns (state, moved_local).
 
     Flow control: each shard advertises its free-slot count to both
     neighbors (two scalar ppermutes); senders ship at most what the
     receiver's slot windows can absorb, so a receive can NEVER drop a
-    particle.  Lanes that don't fit stay frozen and retry next round;
-    `stuck` flags a round where a global backlog exists but nothing moved
-    (every receiver full) — the driver's cue to grow capacity and
-    repartition.
+    particle.  Lanes that don't fit stay frozen and retry next round; the
+    caller detects a stalled backlog (pending without movement) and grows
+    capacity.
     """
     live = (~s.dead) & (s.dt_to_census > 0)
-    ly = s.celly - y_off
-    go_up = live & (ly >= rows)
-    go_dn = live & (ly < 0)
+    lc = getattr(s, field) - off
+    go_up = live & (lc >= win)
+    go_dn = live & (lc < 0)
 
     perm_up = [(i, i + 1) for i in range(nshards - 1)]
     perm_dn = [(i + 1, i) for i in range(nshards - 1)]
@@ -160,15 +163,7 @@ def _migrate(s: ParticleState, y_off, axis: str, nshards: int, rows: int,
     nmoved = (jnp.count_nonzero(val_up) + jnp.count_nonzero(val_dn))
     s = place(s, recv_from_below, rv_below, free[:cap_xfer])
     s = place(s, recv_from_above, rv_above, free[cap_xfer:])
-
-    # Unshipped overflow lanes stay frozen and retry next round.
-    live = (~s.dead) & (s.dt_to_census > 0)
-    ly = s.celly - y_off
-    pending = jnp.count_nonzero(live & ((ly < 0) | (ly >= rows)))
-    pending_g = lax.psum(pending.astype(jnp.int32), axis)
-    moved_g = lax.psum(nmoved.astype(jnp.int32), axis)
-    stuck = (pending_g > 0) & (moved_g == 0)
-    return s, pending, stuck
+    return s, nmoved.astype(jnp.int32)
 
 
 class SpatialSimulation(driver_mod.SimulationBase):
@@ -262,13 +257,18 @@ class SpatialSimulation(driver_mod.SimulationBase):
                     self.cs_scatter, self.cs_absorb, self.geom, mk,
                     1.0 / self.cfg.nparticles, self.chunk_sweeps,
                     events_per_sweep=self.events_per_sweep, y_off_dyn=y_off)
-            s, pending, err = _migrate(s, y_off, axis, self.nshards, rows,
-                                       self.cap_xfer)
+            s, moved = _migrate_axis(s, "celly", y_off, axis,
+                                     self.nshards, rows, self.cap_xfer)
+            live = (~s.dead) & (s.dt_to_census > 0)
+            ly = s.celly - y_off
+            pending = jnp.count_nonzero(live & ((ly < 0) | (ly >= rows)))
             work = jnp.count_nonzero(
                 transport.working_mask(s, self.geom, y_off)).astype(
                     jnp.uint32)
             work = lax.psum(work + pending.astype(jnp.uint32), axis)
-            err = lax.pmax(err.astype(jnp.int32), axis)
+            pending_g = lax.psum(pending.astype(jnp.int32), axis)
+            moved_g = lax.psum(moved, axis)
+            err = ((pending_g > 0) & (moved_g == 0)).astype(jnp.int32)
             nsweeps = lax.pmax(nsweeps, axis)
             c_row = jnp.stack([c.nfacets_hi, c.nfacets_lo,
                                c.ncollisions_hi, c.ncollisions_lo])[None, :]
@@ -339,3 +339,207 @@ class SpatialSimulation(driver_mod.SimulationBase):
 
     def global_tally_sum(self) -> float:
         return float(np.asarray(self.tally_parts, dtype=np.float64).sum())
+
+
+# ---------------------------------------------------------------------------
+# 2D (x, y) decomposition
+# ---------------------------------------------------------------------------
+
+def _partition_by_owner(state: ParticleState, owner: np.ndarray,
+                        nshards: int, cap: int) -> ParticleState:
+    """Host-side: group lanes by owner shard into (nshards*cap,) arrays."""
+    dead = np.asarray(state.dead)
+
+    def build(a):
+        a = np.asarray(a)
+        out = np.zeros((nshards, cap) + a.shape[1:], a.dtype)
+        for s in range(nshards):
+            sel = np.flatnonzero((owner == s) & ~dead)
+            out[s, :sel.size] = a[sel]
+        return out.reshape(nshards * cap, *a.shape[1:])
+
+    new = jax.tree_util.tree_map(build, state)
+    deadflag = np.ones((nshards, cap), bool)
+    for s in range(nshards):
+        n_s = int(((owner == s) & ~dead).sum())
+        deadflag[s, :n_s] = False
+    return ParticleState(
+        x=new.x, y=new.y, omega_x=new.omega_x, omega_y=new.omega_y,
+        energy=new.energy, weight=new.weight, dt_to_census=new.dt_to_census,
+        mfp_to_collision=new.mfp_to_collision, deposit=new.deposit,
+        cellx=new.cellx, celly=new.celly,
+        dead=deadflag.reshape(-1), pid=new.pid, counter=new.counter)
+
+
+def factor_grid(ndev: int, nx: int, ny: int) -> tuple[int, int]:
+    """(py, px) near-square factorization with py | ny and px | nx."""
+    best = None
+    for py in range(1, ndev + 1):
+        if ndev % py:
+            continue
+        px = ndev // py
+        if ny % py or nx % px:
+            continue
+        score = abs(py - px)
+        if best is None or score < best[0]:
+            best = (score, py, px)
+    if best is None:
+        raise ValueError(f"cannot factor {ndev} devices over {nx}x{ny} mesh")
+    return best[1], best[2]
+
+
+class Spatial2DSimulation(SpatialSimulation):
+    """2D (x, y) block decomposition with two-phase particle migration.
+
+    Each shard owns a rows x cols tally block; migration runs an x-axis
+    exchange (along mesh axis "px") then a y-axis exchange (along "py")
+    per chunk, so a diagonal move completes within one chunk round.  Flow
+    control, capacity auto-resize and the frozen-lane retry semantics are
+    inherited from the 1D slab implementation.
+    """
+
+    def __init__(self, cfg: SimConfig, *, dtype=None,
+                 events_per_sweep: int | None = None,
+                 device_mesh: Mesh | None = None, quiet: bool = False,
+                 grid: tuple[int, int] | None = None):
+        if not cfg.fast_math:
+            raise ValueError("spatial decomposition requires fast_math "
+                             "(analytic region density)")
+        driver_mod.SimulationBase.__init__(
+            self, cfg, dtype=dtype, events_per_sweep=events_per_sweep,
+            quiet=quiet)
+        devs = (device_mesh.devices.reshape(-1) if device_mesh is not None
+                else np.asarray(jax.devices()))
+        ndev = devs.size
+        py, px = grid or factor_grid(ndev, cfg.nx, cfg.ny)
+        self.py, self.px = py, px
+        self.device_mesh = Mesh(np.asarray(devs).reshape(py, px),
+                                ("py", "px"))
+        self.axes = ("py", "px")
+        self.nshards = ndev
+        self.rows = cfg.ny // py
+        self.cols = cfg.nx // px
+        self.geom = Geometry(
+            global_nx=cfg.nx, global_ny=cfg.ny, nx=self.cols, ny=self.rows,
+            dx=cfg.width / cfg.nx, dy=cfg.height / cfg.ny,
+            regions=self.geom.regions, rng_scheme=cfg.rng)
+
+        state = inject_particles(
+            self.mesh, nparticles=cfg.nparticles,
+            source_x0=cfg.source.xpos * cfg.width,
+            source_y0=cfg.source.ypos * cfg.height,
+            source_width=cfg.source.width * cfg.width,
+            source_height=cfg.source.height * cfg.height,
+            initial_energy=cfg.initial_energy, dt=cfg.dt,
+            dtype=self.dtype, rng_scheme=cfg.rng,
+            local_coords=driver_mod._local_coords(cfg, self.dtype))
+
+        owner = self._owner_of(state)
+        peak = int(np.bincount(owner, minlength=ndev).max())
+        self.cap = max(((2 * peak + 8191) // 8192) * 8192, 8192)
+        self.cap_xfer = max(self.cap // 8, 1024)
+        packed = _partition_by_owner(state, owner, ndev, self.cap)
+
+        spec = NamedSharding(self.device_mesh, P(self.axes))
+        self.state = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, spec), packed)
+        self.tally_parts = jax.device_put(
+            jnp.zeros((ndev, self.rows * self.cols),
+                      dtype=jnp.dtype(cfg.tally_dtype)),
+            NamedSharding(self.device_mesh, P(self.axes, None)))
+
+    def _owner_of(self, state) -> np.ndarray:
+        oy = np.clip(np.asarray(state.celly) // self.rows, 0, self.py - 1)
+        ox = np.clip(np.asarray(state.cellx) // self.cols, 0, self.px - 1)
+        return (oy * self.px + ox).astype(np.int64)
+
+    def _repartition(self, cap: int) -> None:
+        host = jax.tree_util.tree_map(np.asarray, self.state)
+        packed = _partition_by_owner(host, self._owner_of(host),
+                                     self.nshards, cap)
+        self.cap = cap
+        self.cap_xfer = max(cap // 8, 1024)
+        spec = NamedSharding(self.device_mesh, P(self.axes))
+        self.state = jax.tree_util.tree_map(
+            lambda a: jax.device_put(jnp.asarray(a), spec), packed)
+
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnames=("self",))
+    def _begin(self, state, mk):
+        spec = _state_spec(self.axes)
+
+        def shard_fn(s):
+            s = transport.begin_timestep(s, self.mesh, self.geom,
+                                         self.cs_scatter, self.cfg.dt, mk)
+            nproc = lax.psum(jnp.count_nonzero(~s.dead).astype(jnp.uint32),
+                             self.axes)
+            return s, nproc
+
+        fn = shard_map(shard_fn, mesh=self.device_mesh, in_specs=(spec,),
+                       out_specs=(spec, P()), check_vma=False)
+        return fn(state)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _chunk(self, state, tally_parts, mk):
+        rows, cols = self.rows, self.cols
+        spec = _state_spec(self.axes)
+
+        def shard_fn(s, t_row):
+            y_off = (lax.axis_index("py") * rows).astype(jnp.int32)
+            x_off = (lax.axis_index("px") * cols).astype(jnp.int32)
+            if self.use_pallas:
+                from ..pallas_sweep import (drain_rings, make_rings,
+                                            pallas_sweep_chunk)
+                rc, rv, rn = make_rings(s.x.shape[0], t_row.dtype)
+                (s, t, c, rc, rv, rn, nsweeps, _) = pallas_sweep_chunk(
+                    s, t_row[0], EventCounts.zeros(), rc, rv, rn,
+                    self.cs_scatter, self.cs_absorb, self.geom, mk,
+                    1.0 / self.cfg.nparticles, self.chunk_sweeps,
+                    k_events=self.k_events, y_off=y_off, x_off=x_off,
+                    interpret=getattr(self, "pallas_interpret", False))
+                t, rc, rv, rn = drain_rings(t, rc, rv, rn)
+            else:
+                s, t, c, nsweeps, _ = transport.sweep_chunk(
+                    s, t_row[0], EventCounts.zeros(), self.mesh,
+                    self.cs_scatter, self.cs_absorb, self.geom, mk,
+                    1.0 / self.cfg.nparticles, self.chunk_sweeps,
+                    events_per_sweep=self.events_per_sweep,
+                    y_off_dyn=y_off, x_off_dyn=x_off)
+            s, mx = _migrate_axis(s, "cellx", x_off, "px", self.px, cols,
+                                  self.cap_xfer)
+            s, my = _migrate_axis(s, "celly", y_off, "py", self.py, rows,
+                                  self.cap_xfer)
+            live = (~s.dead) & (s.dt_to_census > 0)
+            lx = s.cellx - x_off
+            ly = s.celly - y_off
+            pending = jnp.count_nonzero(
+                live & ((lx < 0) | (lx >= cols) | (ly < 0) | (ly >= rows)))
+            work = jnp.count_nonzero(
+                transport.working_mask(s, self.geom, y_off, x_off)).astype(
+                    jnp.uint32)
+            work = lax.psum(work + pending.astype(jnp.uint32), self.axes)
+            pending_g = lax.psum(pending.astype(jnp.int32), self.axes)
+            moved_g = lax.psum(mx + my, self.axes)
+            err = ((pending_g > 0) & (moved_g == 0)).astype(jnp.int32)
+            nsweeps = lax.pmax(nsweeps, self.axes)
+            c_row = jnp.stack([c.nfacets_hi, c.nfacets_lo,
+                               c.ncollisions_hi, c.ncollisions_lo])[None, :]
+            return s, t[None, :], c_row, nsweeps, work, err
+
+        fn = shard_map(
+            shard_fn, mesh=self.device_mesh,
+            in_specs=(spec, P(self.axes, None)),
+            out_specs=(spec, P(self.axes, None), P(self.axes, None),
+                       P(), P(), P()),
+            check_vma=False)
+        return fn(state, tally_parts)
+
+    # ------------------------------------------------------------------
+    @property
+    def tally(self) -> jnp.ndarray:
+        """Global (ny*nx,) tally assembled from the shard blocks."""
+        blocks = np.asarray(self.tally_parts).reshape(
+            self.py, self.px, self.rows, self.cols)
+        grid2d = blocks.transpose(0, 2, 1, 3).reshape(
+            self.py * self.rows, self.px * self.cols)
+        return jnp.asarray(grid2d.reshape(-1))

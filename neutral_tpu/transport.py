@@ -239,7 +239,8 @@ def event_sweep(state: ParticleState, tally: jnp.ndarray, mesh: Mesh2D,
                 geom: Geometry, scatter_tab: CrossSection,
                 absorb_tab: CrossSection, master_key,
                 inv_ntotal: float,
-                y_off_dyn=None) -> tuple[ParticleState, jnp.ndarray,
+                y_off_dyn=None,
+                x_off_dyn=None) -> tuple[ParticleState, jnp.ndarray,
                                          jnp.ndarray, jnp.ndarray]:
     """Advance every live particle through exactly one event.
 
@@ -254,7 +255,7 @@ def event_sweep(state: ParticleState, tally: jnp.ndarray, mesh: Mesh2D,
     """
     state, flush, flat_cell, contrib, is_facet, is_coll = sweep_core(
         state, mesh, geom, scatter_tab, absorb_tab, master_key, inv_ntotal,
-        tally.dtype, y_off_dyn=y_off_dyn)
+        tally.dtype, y_off_dyn=y_off_dyn, x_off_dyn=x_off_dyn)
 
     # ---- tally flush (reference flush sites: omp3/neutral.c:248-250,
     # 325-327, 400-402; scatter-add replaces the reference's atomics).
@@ -276,7 +277,7 @@ def event_sweep(state: ParticleState, tally: jnp.ndarray, mesh: Mesh2D,
 def sweep_core(state: ParticleState, mesh, geom: Geometry,
                scatter_tab: CrossSection, absorb_tab: CrossSection,
                master_key, inv_ntotal: float, tally_dtype,
-               y_off_dyn=None, gate=None):
+               y_off_dyn=None, gate=None, x_off_dyn=None):
     """One event per live lane — pure math, no tally scatter.
 
     Shape-agnostic over the lane arrays (works on (N,) in XLA-land and on
@@ -294,7 +295,11 @@ def sweep_core(state: ParticleState, mesh, geom: Geometry,
         live = live & gate
 
     # ---- local material state (pure function of particle state) ----------
-    lx = state.cellx - geom.x_off
+    if x_off_dyn is None:
+        lx = state.cellx - geom.x_off
+    else:
+        lx = state.cellx - x_off_dyn
+        live = live & (lx >= 0) & (lx < geom.nx)
     if y_off_dyn is None:
         ly = state.celly - geom.y_off
     else:
@@ -433,12 +438,16 @@ def sweep_core(state: ParticleState, mesh, geom: Geometry,
     return new_state, flush, flat_cell, contrib, is_facet, is_coll
 
 
-def working_mask(state: ParticleState, geom: Geometry, y_off_dyn=None):
+def working_mask(state: ParticleState, geom: Geometry, y_off_dyn=None,
+                 x_off_dyn=None):
     """Lanes with events left to process on THIS shard this chunk."""
     w = (~state.dead) & (state.dt_to_census > 0)
     if y_off_dyn is not None:
         ly = state.celly - y_off_dyn
         w = w & (ly >= 0) & (ly < geom.ny)
+    if x_off_dyn is not None:
+        lx = state.cellx - x_off_dyn
+        w = w & (lx >= 0) & (lx < geom.nx)
     return w
 
 
@@ -448,7 +457,7 @@ def sweep_chunk(state: ParticleState, tally: jnp.ndarray,
                 scatter_tab: CrossSection, absorb_tab: CrossSection,
                 geom: Geometry, master_key, inv_ntotal: float,
                 max_sweeps: int, events_per_sweep: int = 1,
-                y_off_dyn=None):
+                y_off_dyn=None, x_off_dyn=None):
     """Run up to `max_sweeps` event sweeps in ONE device dispatch.
 
     Bounding the while_loop per dispatch keeps each XLA execution short —
@@ -461,20 +470,22 @@ def sweep_chunk(state: ParticleState, tally: jnp.ndarray,
     """
     def cond(carry):
         s, _, _, it = carry
-        return jnp.any(working_mask(s, geom, y_off_dyn)) & (it < max_sweeps)
+        return (jnp.any(working_mask(s, geom, y_off_dyn, x_off_dyn))
+                & (it < max_sweeps))
 
     def body(carry):
         s, t, c, it = carry
         for _ in range(events_per_sweep):
             s, t, nf, nc = event_sweep(s, t, mesh, geom, scatter_tab,
                                        absorb_tab, master_key, inv_ntotal,
-                                       y_off_dyn=y_off_dyn)
+                                       y_off_dyn=y_off_dyn,
+                                       x_off_dyn=x_off_dyn)
             c = c.add(nf, nc)
         return (s, t, c, it + 1)
 
     carry = (state, tally, counts, jnp.zeros((), jnp.int32))
     state, tally, counts, nsweeps = lax.while_loop(cond, body, carry)
-    any_live = jnp.any(working_mask(state, geom, y_off_dyn))
+    any_live = jnp.any(working_mask(state, geom, y_off_dyn, x_off_dyn))
     return state, tally, counts, nsweeps * events_per_sweep, any_live
 
 

@@ -147,3 +147,53 @@ def test_spatial_repartition_invisible():
         np.asarray(single.tally, np.float64),
         np.asarray(spatial.tally, np.float64).reshape(-1),
         rtol=1e-12, atol=1e-300)
+
+
+def test_spatial2d_matches_single():
+    """2D (x,y) block decomposition: exact event counts + 1e-12 tallies."""
+    from neutral_tpu.parallel import Spatial2DSimulation
+
+    cfg = SimConfig(nx=64, ny=64, dt=2e-7, niters=2, nparticles=1500,
+                    initial_energy=1.0e6,
+                    source=SourceBox(0.4, 0.05, 0.2, 0.1),
+                    problems=(ProblemRegion(1.0e-2, 0.0, 0.0, 1.0, 1.0),),
+                    dtype="float64", tally_dtype="float64")
+    single = Simulation(cfg, quiet=True)
+    for tt in (1, 2):
+        single.step(tt)
+
+    sim = Spatial2DSimulation(cfg, quiet=True)
+    assert (sim.py, sim.px) == (4, 2) or sim.py * sim.px == 8
+    for tt in (1, 2):
+        sim.step(tt)
+    for a, b in zip(single.step_metrics, sim.step_metrics):
+        assert (a.nfacets, a.ncollisions, a.nprocessed) == \
+            (b.nfacets, b.ncollisions, b.nprocessed)
+    np.testing.assert_allclose(
+        np.asarray(single.tally, np.float64),
+        np.asarray(sim.tally, np.float64),
+        rtol=1e-12, atol=1e-300)
+
+
+def test_spatial2d_absorber_matches_single():
+    """2D decomposition on the absorber deck (mixed collisions + facets)."""
+    from neutral_tpu.parallel import Spatial2DSimulation
+
+    cfg = SimConfig(nx=64, ny=64, dt=2e-7, niters=2, nparticles=2000,
+                    initial_energy=1.0e4,
+                    source=SourceBox(0.1, 0.1, 0.4, 0.4),
+                    problems=(ProblemRegion(1.0e2, 0.0, 0.0, 1.0, 1.0),
+                              ProblemRegion(1.0e4, 0.4, 0.4, 0.2, 0.2)),
+                    dtype="float64", tally_dtype="float64")
+    single = Simulation(cfg, quiet=True)
+    for tt in (1, 2):
+        single.step(tt)
+    sim = Spatial2DSimulation(cfg, quiet=True)
+    for tt in (1, 2):
+        sim.step(tt)
+    for a, b in zip(single.step_metrics, sim.step_metrics):
+        assert (a.nfacets, a.ncollisions) == (b.nfacets, b.ncollisions)
+    np.testing.assert_allclose(
+        np.asarray(single.tally, np.float64),
+        np.asarray(sim.tally, np.float64),
+        rtol=1e-12, atol=1e-300)
