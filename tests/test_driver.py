@@ -155,3 +155,36 @@ def test_non_unit_domain_fast_vs_slow_paths():
     # multiply-adds differently -> last-ulp distance differences
     np.testing.assert_allclose(np.asarray(slow.tally),
                                np.asarray(fast.tally), rtol=1e-12, atol=0)
+
+
+def test_early_exit_at_sim_end(capsys):
+    """Timestep loop stops once elapsed time reaches sim_end (main.c:142-146)."""
+    cfg = small_cfg(niters=50, sim_end=1.5e-7)  # dt=1e-7 -> stops after 2
+    sim = Simulation(cfg, quiet=False)
+    sim.run()
+    out = capsys.readouterr().out
+    assert "Reached end of simulation time" in out
+    assert len(sim.step_metrics) == 2
+
+
+def test_profile_records_step_times():
+    cfg = small_cfg(niters=1)
+    sim = Simulation(cfg, quiet=True)
+    sim.step(1)
+    assert [e.name for e in sim.profile.entries] == ["step1"]
+    assert sim.profile.entries[0].time > 0.0
+    assert sim.profile.total() == sim.profile.entries[0].time
+    assert "step1" in sim.profile.summary()
+
+
+def test_find_cell_nonuniform_fallback_matches():
+    """_find_cell: searchsorted fallback equals the uniform O(1) path."""
+    import jax.numpy as jnp
+    from neutral_tpu.particles import _find_cell
+
+    nx, width = 317, 11.7
+    edges = jnp.asarray(np.arange(nx + 1, dtype=np.float64) * (width / nx))
+    pos = jnp.asarray(np.random.default_rng(0).uniform(0, width, 20000))
+    fast = _find_cell(edges, pos, nx, width, True)
+    slow = _find_cell(edges, pos, nx, width, False)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
