@@ -55,31 +55,9 @@ from .sharding import _state_spec, combine_count_rows, make_device_mesh
 
 def _partition_by_slab(state: ParticleState, nshards: int, rows: int,
                        cap: int) -> ParticleState:
-    """Host-side: group lanes by owner shard into (nshards*cap,) arrays."""
-    celly = np.asarray(state.celly)
-    dead = np.asarray(state.dead)
-    owner = np.clip(celly // rows, 0, nshards - 1)
-
-    def build(a):
-        a = np.asarray(a)
-        out = np.zeros((nshards, cap) + a.shape[1:], a.dtype)
-        for s in range(nshards):
-            sel = np.flatnonzero((owner == s) & ~dead)
-            out[s, :sel.size] = a[sel]
-        return out.reshape(nshards * cap, *a.shape[1:])
-
-    new = jax.tree_util.tree_map(build, state)
-    # Padding lanes must be dead; rebuild the dead flag accordingly.
-    deadflag = np.ones((nshards, cap), bool)
-    for s in range(nshards):
-        n_s = int(((owner == s) & ~dead).sum())
-        deadflag[s, :n_s] = False
-    return ParticleState(
-        x=new.x, y=new.y, omega_x=new.omega_x, omega_y=new.omega_y,
-        energy=new.energy, weight=new.weight, dt_to_census=new.dt_to_census,
-        mfp_to_collision=new.mfp_to_collision, deposit=new.deposit,
-        cellx=new.cellx, celly=new.celly,
-        dead=deadflag.reshape(-1), pid=new.pid, counter=new.counter)
+    """Host-side: group lanes by owner slab into (nshards*cap,) arrays."""
+    owner = np.clip(np.asarray(state.celly) // rows, 0, nshards - 1)
+    return _partition_by_owner(state, owner, nshards, cap)
 
 
 def _migrate_axis(s: ParticleState, field: str, off, axis: str,
@@ -189,7 +167,7 @@ class SpatialSimulation(driver_mod.SimulationBase):
         self.geom = Geometry(
             global_nx=cfg.nx, global_ny=cfg.ny, nx=cfg.nx, ny=self.rows,
             dx=cfg.width / cfg.nx, dy=cfg.height / cfg.ny,
-            regions=self.geom.regions)
+            regions=self.geom.regions, rng_scheme=cfg.rng)
 
         state = inject_particles(
             self.mesh, nparticles=cfg.nparticles,
@@ -291,7 +269,10 @@ class SpatialSimulation(driver_mod.SimulationBase):
         recovery path.
         """
         host = jax.tree_util.tree_map(np.asarray, self.state)
-        packed = _partition_by_slab(host, self.nshards, self.rows, cap)
+        owner = np.clip(np.asarray(host.celly) // self.rows, 0,
+                        self.nshards - 1)
+        cap = _cap_for(owner, np.asarray(host.dead), self.nshards, cap)
+        packed = _partition_by_owner(host, owner, self.nshards, cap)
         self.cap = cap
         self.cap_xfer = max(cap // 8, 1024)
         shard_sharding = NamedSharding(self.device_mesh, P(self.axis))
@@ -307,6 +288,12 @@ class SpatialSimulation(driver_mod.SimulationBase):
         while True:
             (self.state, self.tally_parts, c_rows, done, work,
              err) = self._chunk(self.state, self.tally_parts, mk)
+            # The chunk's sweeps happened regardless of migration backlog:
+            # bank its event counts BEFORE any recovery path.
+            dnf, dnc = combine_count_rows(c_rows)
+            nf += dnf
+            nc += dnc
+            nsweeps += int(done)
             if int(err):
                 grows += 1
                 if grows > 6:
@@ -317,10 +304,6 @@ class SpatialSimulation(driver_mod.SimulationBase):
                             f"{self.cap} -> {2 * self.cap}, repartitioning")
                 self._repartition(2 * self.cap)
                 continue
-            dnf, dnc = combine_count_rows(c_rows)
-            nf += dnf
-            nc += dnc
-            nsweeps += int(done)
             if int(work) == 0:
                 break
         jax.block_until_ready(self.tally_parts)
@@ -371,6 +354,15 @@ def _partition_by_owner(state: ParticleState, owner: np.ndarray,
         dead=deadflag.reshape(-1), pid=new.pid, counter=new.counter)
 
 
+def _cap_for(owner: np.ndarray, dead: np.ndarray, nshards: int,
+             requested: int) -> int:
+    """Per-shard capacity >= requested AND >= 2x the peak live occupancy."""
+    peak = int(np.bincount(owner[~dead], minlength=nshards).max()) \
+        if (~dead).any() else 0
+    need = max(requested, 2 * peak)
+    return max(((need + 8191) // 8192) * 8192, 8192)
+
+
 def factor_grid(ndev: int, nx: int, ny: int) -> tuple[int, int]:
     """(py, px) near-square factorization with py | ny and px | nx."""
     best = None
@@ -412,6 +404,10 @@ class Spatial2DSimulation(SpatialSimulation):
                 else np.asarray(jax.devices()))
         ndev = devs.size
         py, px = grid or factor_grid(ndev, cfg.nx, cfg.ny)
+        if py * px != ndev or cfg.ny % py or cfg.nx % px:
+            raise ValueError(
+                f"grid {py}x{px} must use all {ndev} devices and divide "
+                f"the {cfg.nx}x{cfg.ny} mesh")
         self.py, self.px = py, px
         self.device_mesh = Mesh(np.asarray(devs).reshape(py, px),
                                 ("py", "px"))
@@ -455,8 +451,9 @@ class Spatial2DSimulation(SpatialSimulation):
 
     def _repartition(self, cap: int) -> None:
         host = jax.tree_util.tree_map(np.asarray, self.state)
-        packed = _partition_by_owner(host, self._owner_of(host),
-                                     self.nshards, cap)
+        owner = self._owner_of(host)
+        cap = _cap_for(owner, np.asarray(host.dead), self.nshards, cap)
+        packed = _partition_by_owner(host, owner, self.nshards, cap)
         self.cap = cap
         self.cap_xfer = max(cap // 8, 1024)
         spec = NamedSharding(self.device_mesh, P(self.axes))

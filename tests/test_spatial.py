@@ -163,7 +163,7 @@ def test_spatial2d_matches_single():
         single.step(tt)
 
     sim = Spatial2DSimulation(cfg, quiet=True)
-    assert (sim.py, sim.px) == (4, 2) or sim.py * sim.px == 8
+    assert (sim.py, sim.px) == (2, 4)  # near-square factorization
     for tt in (1, 2):
         sim.step(tt)
     for a, b in zip(single.step_metrics, sim.step_metrics):
@@ -197,3 +197,34 @@ def test_spatial2d_absorber_matches_single():
         np.asarray(single.tally, np.float64),
         np.asarray(sim.tally, np.float64),
         rtol=1e-12, atol=1e-300)
+
+
+def test_spatial_pcg_scheme_matches_single():
+    """Regression: 1D spatial geometry must carry the deck's rng scheme."""
+    cfg = SimConfig(nx=64, ny=64, dt=2e-7, niters=1, nparticles=1000,
+                    initial_energy=1.0e4, rng="pcg64si",
+                    source=SourceBox(0.1, 0.1, 0.4, 0.4),
+                    problems=(ProblemRegion(1.0e2, 0.0, 0.0, 1.0, 1.0),
+                              ProblemRegion(1.0e4, 0.4, 0.4, 0.2, 0.2)),
+                    dtype="float64", tally_dtype="float64")
+    single = Simulation(cfg, quiet=True)
+    sm = single.step(1)
+    spatial = SpatialSimulation(cfg, quiet=True)
+    m = spatial.step(1)
+    assert (m.nfacets, m.ncollisions) == (sm.nfacets, sm.ncollisions)
+    np.testing.assert_allclose(
+        np.asarray(single.tally, np.float64),
+        np.asarray(spatial.tally, np.float64).reshape(-1),
+        rtol=1e-12, atol=1e-300)
+
+
+def test_spatial2d_rejects_bad_grid():
+    from neutral_tpu.parallel import Spatial2DSimulation
+
+    cfg = SimConfig(nx=64, ny=64, dt=2e-7, niters=1, nparticles=100,
+                    initial_energy=1.0e4,
+                    source=SourceBox(0.1, 0.1, 0.4, 0.4),
+                    problems=(ProblemRegion(1.0e2, 0.0, 0.0, 1.0, 1.0),),
+                    dtype="float64", tally_dtype="float64")
+    with pytest.raises(ValueError, match="divide"):
+        Spatial2DSimulation(cfg, quiet=True, grid=(3, 2))
