@@ -65,13 +65,18 @@ def main() -> int:
     n_dev = len(jax.devices())
 
     # The remote-TPU link occasionally stalls; one retry covers a
-    # transient drop without masking real failures.
+    # transient drop without masking real failures.  The first failure is
+    # logged in full so a deterministic bug that happens to pass on retry
+    # is still visible.
     for attempt in range(2):
         try:
             run_problem(cfg, n_dev)  # warmup: trace + compile all shapes
             events, solve_time, tally_sum = run_problem(cfg, n_dev)
             break
         except Exception:
+            import traceback
+            print(f"bench attempt {attempt + 1} failed:", file=sys.stderr)
+            traceback.print_exc()
             if attempt == 1:
                 raise
             time.sleep(60)

@@ -170,8 +170,11 @@ class SimulationBase:
         # tooling, precision studies) take the XLA sweep.
         is_f32 = self.dtype == jnp.dtype(jnp.float32)
         if engine == "auto":
+            # The fused kernel is Mosaic (TPU)-specific; any other backend
+            # (cpu, gpu) takes the XLA sweep rather than crashing in
+            # pltpu lowering.
             self.use_pallas = bool(cfg.fast_math and is_f32
-                                   and jax.default_backend() != "cpu")
+                                   and jax.default_backend() == "tpu")
         else:
             self.use_pallas = engine == "pallas"
             if self.use_pallas and not is_f32:
@@ -231,6 +234,9 @@ class SimulationBase:
 
         out(f"Final Wallclock {self.wallclock:.9f}s")
         out(f"Elapsed Simulation Time {self.elapsed_sim_time:.6f}s")
+        # Reference parity: PRINT_PROFILING_RESULTS at end of run
+        # (main.c:159) — per-step wall-clock entries plus the total.
+        out(self.profile.summary())
         return result
 
     # ------------------------------------------------------------------
@@ -494,6 +500,17 @@ def main(argv: list[str] | None = None) -> int:
         cfg = cfg.with_(engine=args.engine)
 
     if args.backend == "native":
+        # The host engine has no checkpoint/trace/decomposition support;
+        # reject rather than silently ignore (reference: arch TERMINATE on
+        # bad input).
+        unsupported = {"--checkpoint": args.checkpoint,
+                       "--restore": args.restore,
+                       "--trace-dir": args.trace_dir}
+        if args.decomposition != "replicated":
+            unsupported["--decomposition"] = args.decomposition
+        bad = [k for k, v in unsupported.items() if v]
+        if bad:
+            p.error(f"--backend native does not support: {', '.join(bad)}")
         return _run_native(cfg)
 
     if jnp.dtype(cfg.dtype) == jnp.float64:

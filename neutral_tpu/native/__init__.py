@@ -38,22 +38,27 @@ class _Particles(ctypes.Structure):
 
 
 def build(force: bool = False) -> bool:
-    """Compile the shared library; returns success."""
-    if os.path.exists(_LIB_PATH) and not force:
-        return True
+    """Compile the shared library; returns success.
+
+    Always delegates to make — its mtime check makes an up-to-date build a
+    no-op, and a stale .so after editing neutral_native.cpp gets rebuilt
+    instead of silently loaded.  The binary is never committed; it is a
+    build artifact produced on first use.
+    """
     try:
-        subprocess.run(["make", "-C", _DIR], check=True,
-                       capture_output=True, text=True)
+        cmd = ["make", "-C", _DIR] + (["-B"] if force else [])
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
         return os.path.exists(_LIB_PATH)
     except (subprocess.CalledProcessError, FileNotFoundError):
-        return False
+        # No toolchain: a prebuilt library is still usable if present.
+        return os.path.exists(_LIB_PATH)
 
 
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and not build():
+    if not build():
         raise RuntimeError(
             "native engine not built; run `make -C neutral_tpu/native`")
     lib = ctypes.CDLL(_LIB_PATH)

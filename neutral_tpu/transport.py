@@ -274,6 +274,65 @@ def event_sweep(state: ParticleState, tally: jnp.ndarray, mesh: Mesh2D,
     return state, tally, nfacets, ncollisions
 
 
+def collision_physics(state: ParticleState, geom: Geometry,
+                      scatter_tab: CrossSection, master_key, is_coll,
+                      mac_a, mac_t, number_density):
+    """Collision event physics (reference: omp3/neutral.c:209-300).
+
+    Shared verbatim by the facet-stepping sweep (sweep_core) and the
+    free-flight engine (flight.flight_core) so the two cannot drift:
+    absorption (weight reduction + MIN_ENERGY death), elastic scatter
+    (CoM angle, MASS_NO kinematics, lab-frame rotation), cross-section
+    refresh at the new energy, and the mean-free-path re-sample — with
+    the per-lane RNG counter advancing exactly as the reference's
+    sequential history loop would (2 draws per collision:
+    omp3/neutral.c:234,294).
+
+    Returns (omega_x, omega_y, energy, weight, died, coll_alive, mfp,
+    counter); mfp is re-sampled where coll_alive else passed through.
+    """
+    dtype = state.dtype
+    zero = _c(0.0, dtype)
+    p_absorb = mac_a / mac_t
+    rn1a, rn1b = rng.uniform2_scheme(state.pid, master_key, state.counter,
+                                     dtype, geom.rng_scheme)
+    absorbed = rn1a < p_absorb
+    weight = jnp.where(is_coll & absorbed,
+                       state.weight * (1.0 - p_absorb), state.weight)
+    died = is_coll & absorbed & (state.energy
+                                 < _c(MIN_ENERGY_OF_INTEREST, dtype))
+
+    a = _c(_A, dtype)
+    mu_cm = 1.0 - 2.0 * rn1b
+    e_new = state.energy * (a * a + 2.0 * a * mu_cm + 1.0) / ((a + 1.0)
+                                                              * (a + 1.0))
+    cos_t = 0.5 * ((a + 1.0) * jnp.sqrt(e_new / state.energy)
+                   - (a - 1.0) * jnp.sqrt(state.energy / e_new))
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, zero))
+    scattered = is_coll & (~absorbed)
+    omega_x = jnp.where(scattered,
+                        state.omega_x * cos_t - state.omega_y * sin_t,
+                        state.omega_x)
+    omega_y = jnp.where(scattered,
+                        state.omega_x * sin_t + state.omega_y * cos_t,
+                        state.omega_y)
+    energy = jnp.where(scattered, e_new, state.energy)
+
+    counter = state.counter + is_coll.astype(jnp.uint32)
+
+    # Re-sample mean free paths for surviving collisions, using the
+    # post-collision energy's scattering cross-section in the same cell.
+    sig_s2 = scatter_tab.lookup(energy)
+    mac_s2 = number_density * sig_s2 * _c(BARNS, dtype)
+    rn2a, _ = rng.uniform2_scheme(state.pid, master_key, counter, dtype,
+                                  geom.rng_scheme)
+    coll_alive = is_coll & (~died)
+    counter = counter + coll_alive.astype(jnp.uint32)
+    mfp = jnp.where(coll_alive, -jnp.log(rn2a) / mac_s2,
+                    state.mfp_to_collision)
+    return omega_x, omega_y, energy, weight, died, coll_alive, mfp, counter
+
+
 def sweep_core(state: ParticleState, mesh, geom: Geometry,
                scatter_tab: CrossSection, absorb_tab: CrossSection,
                master_key, inv_ntotal: float, tally_dtype,
@@ -350,43 +409,9 @@ def sweep_core(state: ParticleState, mesh, geom: Geometry,
     y = state.y + jnp.where(live, dist * state.omega_y, zero)
 
     # ---- collision branch (reference: omp3/neutral.c:209-300) -------------
-    p_absorb = mac_a / mac_t
-    rn1a, rn1b = rng.uniform2_scheme(state.pid, master_key, state.counter,
-                                     dtype, geom.rng_scheme)
-    absorbed = rn1a < p_absorb
-    weight = jnp.where(is_coll & absorbed,
-                       state.weight * (1.0 - p_absorb), state.weight)
-    died = is_coll & absorbed & (state.energy
-                                 < _c(MIN_ENERGY_OF_INTEREST, dtype))
-
-    a = _c(_A, dtype)
-    mu_cm = 1.0 - 2.0 * rn1b
-    e_new = state.energy * (a * a + 2.0 * a * mu_cm + 1.0) / ((a + 1.0)
-                                                              * (a + 1.0))
-    cos_t = 0.5 * ((a + 1.0) * jnp.sqrt(e_new / state.energy)
-                   - (a - 1.0) * jnp.sqrt(state.energy / e_new))
-    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, zero))
-    scattered = is_coll & (~absorbed)
-    omega_x = jnp.where(scattered,
-                        state.omega_x * cos_t - state.omega_y * sin_t,
-                        state.omega_x)
-    omega_y = jnp.where(scattered,
-                        state.omega_x * sin_t + state.omega_y * cos_t,
-                        state.omega_y)
-    energy = jnp.where(scattered, e_new, state.energy)
-
-    counter = state.counter + is_coll.astype(jnp.uint32)
-
-    # Re-sample mean free paths for surviving collisions, using the
-    # post-collision energy's scattering cross-section in the same cell.
-    sig_s2 = scatter_tab.lookup(energy)
-    mac_s2 = number_density * sig_s2 * _c(BARNS, dtype)
-    rn2a, _ = rng.uniform2_scheme(state.pid, master_key, counter, dtype,
-                                  geom.rng_scheme)
-    coll_alive = is_coll & (~died)
-    counter = counter + coll_alive.astype(jnp.uint32)
-    mfp = jnp.where(coll_alive, -jnp.log(rn2a) / mac_s2,
-                    state.mfp_to_collision)
+    (omega_x, omega_y, energy, weight, died, coll_alive, mfp,
+     counter) = collision_physics(state, geom, scatter_tab, master_key,
+                                  is_coll, mac_a, mac_t, number_density)
     dt_to_census = state.dt_to_census - jnp.where(is_coll, d_coll / speed,
                                                   zero)
 

@@ -81,6 +81,7 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(full, resumed)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip_orbax(tmp_path):
     """Same roundtrip through the Orbax directory backend (no .npz suffix)."""
     cfg = small_cfg(niters=2)
@@ -138,6 +139,7 @@ def test_determinism_across_runs():
     np.testing.assert_array_equal(np.asarray(a.tally), np.asarray(b.tally))
 
 
+@pytest.mark.slow
 def test_non_unit_domain_fast_vs_slow_paths():
     """width/height != 1 (the arch.params knobs): analytic fast-math paths
     must agree with the gather/global-coordinate paths bitwise in f64."""

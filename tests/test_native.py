@@ -26,6 +26,7 @@ def test_native_draw_matches_python():
         assert a == b
 
 
+@pytest.mark.slow
 def test_native_vs_python_oracle_bitwise():
     """Full 2-step simulation: native == python oracle to the last bit."""
     n = 200
@@ -67,6 +68,7 @@ def test_native_pcg64si_bitwise():
         assert native.pcg64si_first(seed) == rng.pcg64si_py(seed)
 
 
+@pytest.mark.slow
 def test_native_pcg_scheme_matches_jax_engine():
     """Native engine under rng=pcg64si agrees exactly with the f64 JAX engine."""
     import jax

@@ -43,6 +43,7 @@ def run_pallas(cfg, sim, st, mk, max_sweeps, k_events, ring_slots):
     return s, t, c, live
 
 
+@pytest.mark.slow
 def test_pallas_matches_xla_to_completion():
     cfg, sim, st, mk = make_setup()
     s1, t1, c1, n1, live1 = sweep_chunk(
@@ -60,6 +61,7 @@ def test_pallas_matches_xla_to_completion():
                                       np.asarray(getattr(s2, f)))
 
 
+@pytest.mark.slow
 def test_pallas_tiny_ring_pausing_is_exact():
     """A 2-slot ring forces constant pause/drain cycles; physics unchanged."""
     cfg, sim, st, mk = make_setup(dt=2e-9)
@@ -73,6 +75,7 @@ def test_pallas_tiny_ring_pausing_is_exact():
     np.testing.assert_allclose(float(t1.sum()), float(t2.sum()), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_driver_engine_pallas_interpret_unused_on_cpu():
     """engine=auto must resolve to the XLA path on CPU backends."""
     cfg = SimConfig(nx=32, ny=32, dt=1e-9, niters=1, nparticles=4096,

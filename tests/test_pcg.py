@@ -58,6 +58,7 @@ def test_pcg_seed_formula():
     assert got == expect
 
 
+@pytest.mark.slow
 def test_engine_runs_with_pcg_scheme():
     """End-to-end step under pcg64si lands within MC noise of threefry."""
     from neutral_tpu.config import SimConfig, SourceBox, ProblemRegion

@@ -28,6 +28,7 @@ def cfg64(**kw):
     return SimConfig(**base)
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device():
     """Same seed => same physics regardless of sharding (f64: ~1e-12)."""
     cfg = cfg64()
@@ -50,6 +51,7 @@ def test_sharded_matches_single_device():
     np.testing.assert_allclose(m_tally, s_tally, rtol=1e-9, atol=1e-300)
 
 
+@pytest.mark.slow
 def test_sharded_compaction_invisible():
     """Per-shard compaction changes nothing physically (pid-keyed RNG)."""
     cfg = cfg64()
@@ -70,6 +72,7 @@ def test_sharded_compaction_invisible():
         rtol=1e-12, atol=1e-300)
 
 
+@pytest.mark.slow
 def test_device_mesh_subsets():
     mesh2 = make_device_mesh(2)
     assert mesh2.devices.size == 2

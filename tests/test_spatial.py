@@ -30,6 +30,7 @@ def _run_pair(cfg, steps=2):
     return single, spatial
 
 
+@pytest.mark.slow
 def test_spatial_matches_single_absorber():
     cfg = SimConfig(nx=64, ny=64, dt=2e-7, niters=2, nparticles=2000,
                     initial_energy=1.0e4,
@@ -47,6 +48,7 @@ def test_spatial_matches_single_absorber():
         rtol=1e-12, atol=1e-300)
 
 
+@pytest.mark.slow
 def test_spatial_heavy_migration():
     """Streaming problem: every particle crosses many slab boundaries."""
     cfg = SimConfig(nx=64, ny=64, dt=2e-7, niters=2, nparticles=1500,
@@ -76,6 +78,7 @@ def test_spatial_requires_divisible_mesh():
         SpatialSimulation(cfg, device_mesh=make_device_mesh(8))
 
 
+@pytest.mark.slow
 def test_spatial_pallas_interpret_matches_single():
     """Spatial mode on the fused Pallas path (interpret) == single device.
 
@@ -103,6 +106,7 @@ def test_spatial_pallas_interpret_matches_single():
         np.asarray(spatial.tally, np.float64).sum(), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_spatial_tiny_transfer_budget_conserves():
     """Flow-controlled migration: a tiny cap_xfer backlogs but never drops.
 
@@ -128,6 +132,7 @@ def test_spatial_tiny_transfer_budget_conserves():
         rtol=1e-12, atol=1e-300)
 
 
+@pytest.mark.slow
 def test_spatial_repartition_invisible():
     """Capacity growth + owner repartition mid-run changes nothing."""
     cfg = SimConfig(nx=64, ny=64, dt=2e-7, niters=2, nparticles=1500,
@@ -149,6 +154,7 @@ def test_spatial_repartition_invisible():
         rtol=1e-12, atol=1e-300)
 
 
+@pytest.mark.slow
 def test_spatial2d_matches_single():
     """2D (x,y) block decomposition: exact event counts + 1e-12 tallies."""
     from neutral_tpu.parallel import Spatial2DSimulation
@@ -175,6 +181,7 @@ def test_spatial2d_matches_single():
         rtol=1e-12, atol=1e-300)
 
 
+@pytest.mark.slow
 def test_spatial2d_absorber_matches_single():
     """2D decomposition on the absorber deck (mixed collisions + facets)."""
     from neutral_tpu.parallel import Spatial2DSimulation
@@ -199,6 +206,7 @@ def test_spatial2d_absorber_matches_single():
         rtol=1e-12, atol=1e-300)
 
 
+@pytest.mark.slow
 def test_spatial_pcg_scheme_matches_single():
     """Regression: 1D spatial geometry must carry the deck's rng scheme."""
     cfg = SimConfig(nx=64, ny=64, dt=2e-7, niters=1, nparticles=1000,

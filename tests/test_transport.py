@@ -123,6 +123,7 @@ def test_determinism_bitwise():
     np.testing.assert_array_equal(t1, t2)
 
 
+@pytest.mark.slow
 def test_f32_within_validation_tolerance():
     cfg = make_problem("scatter").with_(nparticles=200)
     jt64, _, _ = run_jax(cfg, dtype=jnp.float64)
