@@ -113,13 +113,16 @@ def make_geometry(cfg: SimConfig) -> Geometry:
     the problem-region cell rectangles so the jitted transport uses the
     gather-free analytic paths (see transport.Geometry docs).
     """
+    from .flight import disjoint_rects
     from .mesh import region_cell_bounds
     if cfg.fast_math:
+        regions = region_cell_bounds(cfg)
         return Geometry(global_nx=cfg.nx, global_ny=cfg.ny,
                         nx=cfg.nx, ny=cfg.ny,
                         dx=cfg.width / cfg.nx, dy=cfg.height / cfg.ny,
-                        regions=region_cell_bounds(cfg),
-                        rng_scheme=cfg.rng)
+                        regions=regions,
+                        rng_scheme=cfg.rng,
+                        rects=disjoint_rects(regions, cfg.nx, cfg.ny))
     return Geometry(global_nx=cfg.nx, global_ny=cfg.ny, nx=cfg.nx, ny=cfg.ny,
                     rng_scheme=cfg.rng)
 
@@ -151,6 +154,10 @@ class SimulationBase:
     parallel.sharding.ShardedSimulation (device-mesh data parallel).
     """
 
+    # Whether this driver's step() implements the free-flight engine
+    # (flight.py).  Multi-device decompositions run the stepping engines.
+    supports_flight = False
+
     def __init__(self, cfg: SimConfig, *, dtype=None,
                  events_per_sweep: int | None = None,
                  quiet: bool = False):
@@ -169,17 +176,39 @@ class SimulationBase:
         # The Mosaic kernel is a float32 TPU program; f64 decks (compare
         # tooling, precision studies) take the XLA sweep.
         is_f32 = self.dtype == jnp.dtype(jnp.float32)
+        self.use_flight = False
         if engine == "auto":
             # The fused kernel is Mosaic (TPU)-specific; any other backend
             # (cpu, gpu) takes the XLA sweep rather than crashing in
-            # pltpu lowering.
-            self.use_pallas = bool(cfg.fast_math and is_f32
-                                   and jax.default_backend() == "tpu")
+            # pltpu lowering.  Decks with near-vacuum regions are
+            # facet-dominated — route them to the free-flight engine
+            # (flight.py), whose segment rasterizer sidesteps the
+            # per-cell tally scatter; dense decks (scatter) stay on the
+            # collision-tuned Mosaic ring engine.
+            on_tpu = jax.default_backend() == "tpu"
+            self.use_pallas = bool(cfg.fast_math and is_f32 and on_tpu)
+            if (on_tpu and cfg.fast_math and is_f32 and self.supports_flight
+                    and any(r.density < 1.0 for r in cfg.problems)):
+                self.use_flight = True
+                self.use_pallas = False
         else:
             self.use_pallas = engine == "pallas"
+            self.use_flight = engine == "flight"
             if self.use_pallas and not is_f32:
                 raise ValueError("engine='pallas' requires dtype float32 "
                                  f"(got {self.dtype})")
+            if self.use_flight and not cfg.fast_math:
+                raise ValueError("engine='flight' requires fast_math "
+                                 "(analytic region geometry)")
+            if self.use_flight and not self.supports_flight:
+                raise ValueError("engine='flight' is only available for "
+                                 "single-device runs (decomposition="
+                                 "replicated on one device)")
+        # Flight pieces span many cells: positions must be global (the f32
+        # cell-local trick applies only to the stepping engines).
+        self.flight_seg_cap = 512 * 1024
+        self.flight_flush_cap = 4 * 1024 * 1024
+        self.flight_pair_cap = 8 * 1024 * 1024
         enable_compilation_cache()
 
         self.mesh: Mesh2D = build_mesh(cfg, dtype=self.dtype,
@@ -260,6 +289,10 @@ class SimulationBase:
 
     # ------------------------------------------------------------------
     def _coords_convention(self) -> str:
+        # Flight pieces span many cells, so the flight engine keeps
+        # global positions even in f32 (see flight.flight_core docs).
+        if self.use_flight:
+            return "global"
         return ("cell-local"
                 if _local_coords(self.cfg, self.dtype) else "global")
 
@@ -305,6 +338,8 @@ class SimulationBase:
 class Simulation(SimulationBase):
     """Single-device simulation (one chip, or CPU)."""
 
+    supports_flight = True
+
     def __init__(self, cfg: SimConfig, *, dtype=None,
                  events_per_sweep: int | None = None, quiet: bool = False):
         super().__init__(cfg, dtype=dtype, events_per_sweep=events_per_sweep,
@@ -325,7 +360,8 @@ class Simulation(SimulationBase):
             dtype=self.dtype,
             pad_to=_round_up(n, _LANE_PAD),
             rng_scheme=cfg.rng,
-            local_coords=_local_coords(cfg, self.dtype),
+            local_coords=(None if self.use_flight
+                          else _local_coords(cfg, self.dtype)),
         )
         self.tally = jnp.zeros(cfg.nx * cfg.ny,
                                dtype=jnp.dtype(cfg.tally_dtype))
@@ -348,6 +384,9 @@ class Simulation(SimulationBase):
         """
         from .particles import live_count, merge_compacted, select_working
         from .transport import EventCounts, begin_timestep, sweep_chunk
+
+        if self.use_flight:
+            return self._step_flight(tt)
 
         use_pallas = self.use_pallas
         if use_pallas:
@@ -435,6 +474,103 @@ class Simulation(SimulationBase):
         return m
 
 
+    # ------------------------------------------------------------------
+    def _step_flight(self, tt: int) -> StepMetrics:
+        """One census timestep on the free-flight engine (flight.py).
+
+        Host-chained chunks like the stepping path, but each chunk ends
+        when a flush/segment buffer fills (the budget gate stalls the
+        while_loop) and the host drains: flush entries scatter into the
+        flat tally; segments rasterize into a padded 2D buffer via the
+        Mosaic tile kernel (raster.raster_drain) on TPU, or the DDA
+        fallback elsewhere.  The raster buffer merges into the tally once
+        at the end of the step.
+        """
+        from .flight import drain_flushes, flight_chunk
+        from .particles import live_count, merge_compacted, select_working
+        from .raster import TILE, grid_shape, raster_drain, rasterize_xla
+        from .transport import EventCounts, begin_timestep
+
+        cfg = self.cfg
+        self.profile.start()
+        master_key = jnp.uint32(tt)
+        full = begin_timestep(self.state, self.mesh, self.geom,
+                              self.cs_scatter, cfg.dt, master_key)
+        nprocessed = jnp.count_nonzero(~full.dead)
+        counts = EventCounts.zeros()
+        nsweeps = 0
+        inv_ntotal = 1.0 / cfg.nparticles
+
+        nty, ntx = grid_shape(cfg.nx, cfg.ny, TILE)
+        use_tpu_raster = jax.default_backend() == "tpu"
+        FCAP = self.flight_flush_cap
+        SCAP = self.flight_seg_cap
+        PCAP = self.flight_pair_cap
+        tally_dt = self.tally.dtype
+        if use_tpu_raster:
+            rbuf = jnp.zeros((nty * TILE, ntx * TILE), jnp.float32)
+        else:
+            rflat = jnp.zeros(cfg.nx * cfg.ny, tally_dt)
+        fbuf_cell = jnp.zeros(FCAP, jnp.int32)
+        fbuf_val = jnp.zeros(FCAP, tally_dt)
+        segbuf = jnp.zeros((SCAP, 8), self.dtype)
+        zero_i = jnp.zeros((), jnp.int32)
+
+        part, sel = full, None
+        min_cap = self.compact_min
+        while True:
+            max_sw = (self.chunk_sweeps if part.n > 262144
+                      else self.chunk_sweeps * 8)
+            (part, counts, fbuf_cell, fbuf_val, segbuf, fcnt, scnt,
+             spairs, done, any_live) = flight_chunk(
+                part, counts, self.cs_scatter, fbuf_cell, fbuf_val,
+                segbuf, zero_i, zero_i, zero_i, self.cs_absorb, self.geom,
+                master_key, inv_ntotal, max_sw, tile=TILE, pair_cap=PCAP)
+            nsweeps += int(done)
+            if sel is None:
+                full = part  # donated inputs: keep `full` aliased live
+            self.tally = drain_flushes(self.tally, fbuf_cell, fbuf_val,
+                                       fcnt)
+            if use_tpu_raster:
+                rbuf = raster_drain(rbuf, segbuf.astype(jnp.float32),
+                                    scnt, tile=TILE, ntx=ntx, nty=nty,
+                                    pair_cap=PCAP)
+            else:
+                rflat = rasterize_xla(rflat, segbuf, scnt, nx=cfg.nx,
+                                      ny=cfg.ny,
+                                      max_steps=cfg.nx + cfg.ny + 2)
+            if not bool(any_live):
+                break
+            cap = part.n
+            if self.compact_enabled and cap > min_cap:
+                live = int(live_count(part))
+                target = max(min_cap, 1 << (max(live, 1) - 1).bit_length())
+                if target <= cap // 2:
+                    if sel is not None:
+                        full = merge_compacted(full, part, sel)
+                    else:
+                        full = part
+                    part, sel = select_working(full, target)
+        if sel is not None:
+            full = merge_compacted(full, part, sel)
+        else:
+            full = part
+        self.state = full
+        if use_tpu_raster:
+            self.tally = self.tally + rbuf[:cfg.ny, :cfg.nx].reshape(
+                -1).astype(tally_dt)
+        else:
+            self.tally = self.tally + rflat
+        jax.block_until_ready(self.tally)
+        step_time = self.profile.stop(f"step{tt}")
+        nf, nc = counts.totals()
+        m = StepMetrics(step=tt, step_time=step_time, nfacets=nf,
+                        ncollisions=nc, nprocessed=int(nprocessed),
+                        nsweeps=int(nsweeps))
+        self.step_metrics.append(m)
+        return m
+
+
 def within_tolerance(expected: float, actual: float, tol: float) -> bool:
     """Relative-tolerance check, as arch's within_tolerance."""
     if expected == 0.0:
@@ -475,9 +611,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="jax = event-based XLA engine (default); "
                         "native = history-based C++/OpenMP host engine")
     p.add_argument("--engine", default="auto",
-                   choices=["auto", "xla", "pallas"],
-                   help="sweep engine for the jax backend (auto = fused "
-                        "Pallas kernel on TPU when fast_math)")
+                   choices=["auto", "xla", "pallas", "flight"],
+                   help="sweep engine for the jax backend (auto: on TPU, "
+                        "free-flight engine for decks with near-vacuum "
+                        "regions, fused Pallas ring engine otherwise; "
+                        "xla = unfused event sweep)")
     p.add_argument("--decomposition", default="replicated",
                    choices=["replicated", "spatial", "spatial2d"],
                    help="multi-device strategy: replicated mesh with "

@@ -1,0 +1,367 @@
+"""Dense tile rasterizer: line-segment energy deposition without scatters.
+
+The flight engine (flight.py) emits boundary-to-boundary line segments
+whose per-cell tally deposit is kk * (fraction of the segment inside the
+cell).  Depositing them through XLA's scatter costs ~10ns per CELL entry,
+serialized (the round-1 tally wall).  This module instead:
+
+  1. expands each segment into its (tile, segment) crossing pairs in
+     closed form (merged-arithmetic-progression walk, pure vector math),
+  2. groups pairs by tile with ONE key/value sort + a tiny searchsorted,
+  3. runs a Mosaic kernel over the tile grid: each 128x128-cell tally tile
+     stays resident in VMEM while every segment crossing it deposits into
+     all cells at once with ~15 VPU ops — the classic clipped-overlap
+     formula L(cell) = max(0, min(tx_out,ty_out) - max(tx_in,ty_in)) in
+     the segment's affine t-parameter (anisotropy-safe).
+
+Measured on one v5e chip: ~17M pairs/s (a full-mesh diagonal segment
+crosses ~60 tiles, i.e. ~4000 cells deposited per microsecond — ~25x the
+XLA scatter path), with sort+gather overhead ~0.2s per 8M-pair batch.
+
+A pure-XLA DDA fallback (rasterize_xla) provides the same semantics for
+CPU runs and as the oracle for kernel tests.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 128          # tally tile side (cells)
+_CHUNK = 256        # pairs DMA'd per kernel inner chunk
+_BIG = 1.0e30
+
+
+def grid_shape(nx: int, ny: int, tile: int = TILE) -> tuple[int, int]:
+    """(nty, ntx) tile-grid shape covering an (ny, nx) cell mesh."""
+    return (-(-ny // tile), -(-nx // tile))
+
+
+# ---------------------------------------------------------------------------
+# Pair expansion: k-th tile crossed by a segment, in closed form
+# ---------------------------------------------------------------------------
+
+def _clipfloor(u, n):
+    return jnp.clip(jnp.floor(u).astype(jnp.int32), 0, n - 1)
+
+
+def _kth_tile(gx0, gy0, gx1, gy1, k, tile, ntx, nty):
+    """Tile id after k boundary crossings along each segment.
+
+    The tile-boundary crossing times along the ray are the merge of two
+    arithmetic progressions (x-walls and y-walls); the number of x-steps
+    among the first k crossings is found by an 8-step vector binary
+    search, making the k-th visited tile O(1) per (segment, k) pair.
+    """
+    f32 = gx0.dtype
+    inv = np.dtype(f32).type(1.0 / tile)
+    u0x = gx0 * inv
+    u1x = gx1 * inv
+    u0y = gy0 * inv
+    u1y = gy1 * inv
+    ax = _clipfloor(u0x, ntx)
+    bx = _clipfloor(u1x, ntx)
+    ay = _clipfloor(u0y, nty)
+    by = _clipfloor(u1y, nty)
+    mx = jnp.abs(bx - ax)
+    my = jnp.abs(by - ay)
+    sx = jnp.sign(bx - ax)
+    sy = jnp.sign(by - ay)
+    dux = u1x - u0x
+    duy = u1y - u0y
+    safe_dux = jnp.where(mx > 0, dux, jnp.asarray(1.0, f32))
+    safe_duy = jnp.where(my > 0, duy, jnp.asarray(1.0, f32))
+    hx = jnp.abs(1.0 / safe_dux)
+    hy = jnp.abs(1.0 / safe_duy)
+    bx1 = jnp.where(sx > 0, ax + 1, ax).astype(f32)
+    by1 = jnp.where(sy > 0, ay + 1, ay).astype(f32)
+    x1t = (bx1 - u0x) / safe_dux
+    y1t = (by1 - u0y) / safe_duy
+    big = jnp.asarray(_BIG, f32)
+
+    def xt(i):
+        t = x1t + (i - 1).astype(f32) * hx
+        return jnp.where(i <= 0, -big, jnp.where(i > mx, big, t))
+
+    def yt(j):
+        t = y1t + (j - 1).astype(f32) * hy
+        return jnp.where(j <= 0, -big, jnp.where(j > my, big, t))
+
+    lo = jnp.maximum(0, k - my)
+    hi = jnp.minimum(k, mx)
+    for _ in range(8):
+        mid = (lo + hi + 1) >> 1
+        ok = (xt(mid) <= yt(k - mid + 1)) & (mid <= hi)
+        lo = jnp.where(ok, mid, lo)
+        hi = jnp.where(ok, hi, jnp.minimum(hi, mid - 1))
+    i = lo
+    tx = ax + sx * i
+    ty = ay + sy * (k - i)
+    return ty * ntx + tx
+
+
+def expand_pairs(segbuf, nseg, *, tile: int, ntx: int, nty: int,
+                 pair_cap: int):
+    """Segments -> (sorted tile keys, sorted pair seg-indices, offsets).
+
+    Compact expansion (no per-segment padding): slot j belongs to segment
+    seg_of_slot(j), its crossing ordinal is j - start(segment) — both
+    recovered with cumsum/cummax instead of searchsorted (which measures
+    ~170ns/query on TPU).  Invalid slots get the sentinel key `ntiles`,
+    sort to the end, and are excluded by offsets[ntiles].
+    """
+    scap = segbuf.shape[0]
+    ntiles = ntx * nty
+    valid = jnp.arange(scap) < nseg
+    gx0 = segbuf[:, 0]
+    gy0 = segbuf[:, 1]
+    gx1 = segbuf[:, 2]
+    gy1 = segbuf[:, 3]
+    inv = np.float32(1.0 / tile)
+    tx0 = _clipfloor(gx0 * inv, ntx)
+    tx1 = _clipfloor(gx1 * inv, ntx)
+    ty0 = _clipfloor(gy0 * inv, nty)
+    ty1 = _clipfloor(gy1 * inv, nty)
+    m = jnp.where(valid,
+                  jnp.abs(tx1 - tx0) + jnp.abs(ty1 - ty0) + 1, 0)
+    start = jnp.cumsum(m) - m                    # exclusive prefix
+    total = start[-1] + m[-1]
+
+    # seg_of_slot / k_of_slot via marker + cumsum/cummax (gather-free)
+    slots = jnp.arange(pair_cap, dtype=jnp.int32)
+    marker = jnp.zeros(pair_cap, jnp.int32).at[
+        jnp.where(m > 0, start, pair_cap)].add(1, mode="drop")
+    seg_of_slot = jnp.cumsum(marker) - 1
+    start_of_slot = lax.cummax(jnp.where(marker > 0, slots, -1))
+    k = slots - start_of_slot
+    slot_ok = (slots < total) & (seg_of_slot >= 0)
+
+    key = _kth_tile(gx0[seg_of_slot], gy0[seg_of_slot],
+                    gx1[seg_of_slot], gy1[seg_of_slot], k, tile, ntx, nty)
+    key = jnp.where(slot_ok, key, ntiles)
+    key, seg_idx = lax.sort_key_val(key, seg_of_slot)
+    offsets = jnp.searchsorted(key, jnp.arange(ntiles + 1, dtype=jnp.int32)
+                               ).astype(jnp.int32)
+    return key, seg_idx, offsets
+
+
+# ---------------------------------------------------------------------------
+# Mosaic tile kernel
+# ---------------------------------------------------------------------------
+
+def _raster_kernel(ntx, tsz, offs_ref, pair_hbm, buf_in, buf_out,
+                   scratch, sems):
+    g = pl.program_id(0) * ntx + pl.program_id(1)
+    base = offs_ref[g]
+    end = offs_ref[g + 1]
+    tx0 = (pl.program_id(1) * tsz).astype(jnp.float32)
+    ty0 = (pl.program_id(0) * tsz).astype(jnp.float32)
+
+    colv = lax.broadcasted_iota(jnp.int32, (1, tsz), 1).astype(jnp.float32)
+    rowv = lax.broadcasted_iota(jnp.int32, (tsz, 1), 0).astype(jnp.float32)
+
+    chunk = jnp.asarray(_CHUNK, base.dtype)
+    c0 = base // chunk
+    c1 = lax.div(end + (chunk - 1), chunk)
+
+    def get_dma(slot, ci):
+        off = pl.multiple_of(ci * _CHUNK, _CHUNK)
+        return pltpu.make_async_copy(
+            pair_hbm.at[:, pl.ds(off, _CHUNK)],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(c1 > c0)
+    def _():
+        get_dma(0, c0).start()
+
+    def outer(ci, acc):
+        slot = (ci - c0) % 2
+
+        @pl.when(ci + 1 < c1)
+        def _():
+            get_dma((ci - c0 + 1) % 2, ci + 1).start()
+
+        get_dma(slot, ci).wait()
+        cstart = ci * _CHUNK
+        p_lo = jnp.maximum(base - cstart, 0)
+        p_hi = jnp.minimum(end - cstart, _CHUNK)
+
+        def inner(p, acc):
+            gx0 = scratch[slot, 0, p] - tx0
+            gy0 = scratch[slot, 1, p] - ty0
+            ivx = scratch[slot, 2, p]
+            ivy = scratch[slot, 3, p]
+            kk = scratch[slot, 4, p]
+            one = jnp.float32(1.0)
+            zero = jnp.float32(0.0)
+            t1 = (colv - gx0) * ivx
+            t2 = t1 + ivx
+            txin = jnp.clip(jnp.minimum(t1, t2), zero, one)
+            txout = jnp.clip(jnp.maximum(t1, t2), zero, one)
+            t3 = (rowv - gy0) * ivy
+            t4 = t3 + ivy
+            tyin = jnp.clip(jnp.minimum(t3, t4), zero, one)
+            tyout = jnp.clip(jnp.maximum(t3, t4), zero, one)
+            tin = jnp.maximum(txin, tyin)
+            tout = jnp.minimum(txout, tyout)
+            ll = jnp.maximum(tout - tin, zero)
+            return acc + kk * ll
+
+        return lax.fori_loop(p_lo, p_hi, inner, acc)
+
+    buf_out[:] = lax.fori_loop(c0, c1, outer, buf_in[:])
+
+
+def _pair_fields(segbuf, seg_idx):
+    """(8, pair_cap) f32 pair rows in sorted order, safe reciprocals.
+
+    ivx/ivy are inverse segment extents in cell units; exact zeros are
+    nudged so 0 * inv stays finite (the overlap clips saturate correctly
+    for axis-parallel segments).
+    """
+    rows = segbuf[jnp.clip(seg_idx, 0, segbuf.shape[0] - 1)]
+    gx0 = rows[:, 0]
+    gy0 = rows[:, 1]
+    dgx = rows[:, 2] - gx0
+    dgy = rows[:, 3] - gy0
+    tiny = jnp.float32(1.0e-12)
+    ivx = 1.0 / jnp.where(jnp.abs(dgx) < tiny,
+                          jnp.where(dgx < 0, -tiny, tiny), dgx)
+    ivy = 1.0 / jnp.where(jnp.abs(dgy) < tiny,
+                          jnp.where(dgy < 0, -tiny, tiny), dgy)
+    kk = rows[:, 4]
+    zero = jnp.zeros_like(gx0)
+    return jnp.stack([gx0, gy0, ivx, ivy, kk, zero, zero, zero], axis=0)
+
+
+@partial(jax.jit, static_argnames=("tile", "ntx", "nty", "pair_cap",
+                                   "interpret"),
+         donate_argnums=(0,))
+def raster_drain(buf, segbuf, nseg, *, tile: int = TILE, ntx: int,
+                 nty: int, pair_cap: int, interpret: bool = False):
+    """Deposit `nseg` buffered segments into the (nty*tile, ntx*tile) buf."""
+    key, seg_idx, offsets = expand_pairs(segbuf, nseg, tile=tile, ntx=ntx,
+                                         nty=nty, pair_cap=pair_cap)
+    pair_data = _pair_fields(segbuf, seg_idx)
+    out = pl.pallas_call(
+        partial(_raster_kernel, ntx, tile),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nty, ntx),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                pl.BlockSpec((tile, tile), lambda gy, gx, sref: (gy, gx),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile, tile),
+                                   lambda gy, gx, sref: (gy, gx),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.SMEM((2, 8, _CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nty * tile, ntx * tile),
+                                       jnp.float32),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(offsets, pair_data, buf)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pure-XLA fallbacks (CPU path / test oracles)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("nx", "ny", "max_steps"),
+         donate_argnums=(0,))
+def rasterize_xla(tally_flat, segbuf, nseg, *, nx: int, ny: int,
+                  max_steps: int):
+    """DDA fallback: walk each segment cell by cell, scatter per step.
+
+    Same deposit semantics as the Mosaic kernel (kk * t-fraction per
+    cell); O(nseg) scatter entries per DDA step, so only suitable for
+    CPU/test scales.  max_steps must be >= the longest segment's cell
+    count (nx + ny + 2 is always safe).
+    """
+    scap = segbuf.shape[0]
+    valid = jnp.arange(scap) < nseg
+    gx0 = segbuf[:, 0]
+    gy0 = segbuf[:, 1]
+    dgx = segbuf[:, 2] - gx0
+    dgy = segbuf[:, 3] - gy0
+    kk = jnp.where(valid, segbuf[:, 4], 0.0).astype(tally_flat.dtype)
+    tiny = jnp.asarray(1e-12, segbuf.dtype)
+    ivx = 1.0 / jnp.where(jnp.abs(dgx) < tiny,
+                          jnp.where(dgx < 0, -tiny, tiny), dgx)
+    ivy = 1.0 / jnp.where(jnp.abs(dgy) < tiny,
+                          jnp.where(dgy < 0, -tiny, tiny), dgy)
+    sx = jnp.where(dgx > 0, 1, jnp.where(dgx < 0, -1, 0))
+    sy = jnp.where(dgy > 0, 1, jnp.where(dgy < 0, -1, 0))
+    cx = _clipfloor(gx0, nx)
+    cy = _clipfloor(gy0, ny)
+
+    def t_next(cx, cy):
+        ex = jnp.where(sx > 0, cx + 1, cx).astype(segbuf.dtype)
+        ey = jnp.where(sy > 0, cy + 1, cy).astype(segbuf.dtype)
+        tx = jnp.where(sx == 0, jnp.asarray(_BIG, segbuf.dtype),
+                       (ex - gx0) * ivx)
+        ty = jnp.where(sy == 0, jnp.asarray(_BIG, segbuf.dtype),
+                       (ey - gy0) * ivy)
+        return tx, ty
+
+    def body(carry, _):
+        tally, cx, cy, t_cur = carry
+        tx, ty = t_next(cx, cy)
+        tn = jnp.minimum(jnp.minimum(tx, ty), 1.0)
+        frac = jnp.maximum(tn - t_cur, 0.0).astype(tally.dtype)
+        idx = jnp.where(valid & (t_cur < 1.0), cy * nx + cx, nx * ny)
+        tally = tally.at[idx].add(kk * frac, mode="drop")
+        step_x = (tx <= ty) & (tx < 1.0)
+        step_y = (~step_x) & (ty < 1.0)
+        cx = cx + jnp.where(step_x, sx, 0)
+        cy = cy + jnp.where(step_y, sy, 0)
+        return (tally, cx, cy, tn), None
+
+    (tally_flat, _, _, _), _ = lax.scan(
+        body, (tally_flat, cx, cy, jnp.zeros_like(gx0)), None,
+        length=max_steps)
+    return tally_flat
+
+
+def rasterize_ref(buf2d: np.ndarray, segs: np.ndarray) -> np.ndarray:
+    """Brute-force per-cell overlap oracle (numpy, tests only).
+
+    segs rows: [gx0, gy0, gx1, gy1, kk].
+    """
+    ny, nx = buf2d.shape
+    cols = np.arange(nx, dtype=np.float64)[None, :]
+    rows = np.arange(ny, dtype=np.float64)[:, None]
+    out = buf2d.astype(np.float64).copy()
+    for (gx0, gy0, gx1, gy1, kk) in segs:
+        dgx = gx1 - gx0
+        dgy = gy1 - gy0
+        ivx = 1.0 / (dgx if abs(dgx) > 1e-300 else 1e-300)
+        ivy = 1.0 / (dgy if abs(dgy) > 1e-300 else 1e-300)
+        t1 = (cols - gx0) * ivx
+        t2 = t1 + ivx
+        txin = np.clip(np.minimum(t1, t2), 0.0, 1.0)
+        txout = np.clip(np.maximum(t1, t2), 0.0, 1.0)
+        t3 = (rows - gy0) * ivy
+        t4 = t3 + ivy
+        tyin = np.clip(np.minimum(t3, t4), 0.0, 1.0)
+        tyout = np.clip(np.maximum(t3, t4), 0.0, 1.0)
+        ll = np.maximum(np.minimum(txout, tyout)
+                        - np.maximum(txin, tyin), 0.0)
+        out += kk * ll
+    return out

@@ -83,6 +83,9 @@ class Geometry:
     # RNG stream scheme: "threefry" (omp3/omp4/cuda backends' Threefry-2x64)
     # or "pcg64si" (oacc/raja backends' per-draw-seeded PCG).
     rng_scheme: str = "threefry"
+    # Disjoint constant-density cell rectangles covering the whole domain
+    # (flight.disjoint_rects) — required by the free-flight engine.
+    rects: tuple | None = None
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,244 @@
+"""Free-flight engine + segment rasterizer correctness.
+
+The flight engine (neutral_tpu/flight.py) must reproduce the facet-stepping
+engine's physics: identical RNG streams (draws only at collisions), equal
+event counts, and tallies equal to accumulation-order rounding in float64.
+The rasterizer stack is pinned bottom-up: numpy per-cell-overlap oracle ->
+XLA DDA fallback -> pair expansion -> Mosaic kernel (interpret mode).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from neutral_tpu import SimConfig, SourceBox, ProblemRegion
+from neutral_tpu.driver import Simulation
+from neutral_tpu.flight import disjoint_rects, u64_sum_u32
+from neutral_tpu.mesh import build_density, region_cell_bounds
+from neutral_tpu import raster
+
+
+# ---------------------------------------------------------------------------
+# disjoint rect decomposition
+# ---------------------------------------------------------------------------
+
+def _density_from_rects(rects, nx, ny):
+    out = np.zeros((ny, nx))
+    seen = np.zeros((ny, nx), int)
+    for (ix0, ix1, iy0, iy1, d) in rects:
+        out[iy0:iy1, ix0:ix1] = d
+        seen[iy0:iy1, ix0:ix1] += 1
+    return out, seen
+
+
+def test_disjoint_rects_cover_exactly():
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        nx, ny = rng.integers(4, 40, 2)
+        nreg = rng.integers(1, 5)
+        regions = []
+        for _ in range(nreg):
+            x0, x1 = sorted(rng.integers(0, nx + 1, 2))
+            y0, y1 = sorted(rng.integers(0, ny + 1, 2))
+            regions.append((int(x0), int(max(x1, x0 + 1)), int(y0),
+                            int(max(y1, y0 + 1)), float(rng.uniform(1, 9))))
+        rects = disjoint_rects(tuple(regions), int(nx), int(ny))
+        got, seen = _density_from_rects(rects, nx, ny)
+        assert (seen == 1).all(), "rects must partition the domain"
+        want = np.zeros((ny, nx))
+        for (ix0, ix1, iy0, iy1, d) in regions:
+            want[iy0:iy1, ix0:ix1] = d
+        np.testing.assert_array_equal(got, want)
+
+
+def test_disjoint_rects_match_build_density():
+    cfg = SimConfig(nx=64, ny=48, width=1.0, height=1.0,
+                    problems=(ProblemRegion(1.0e-30, 0, 0, 1, 1),
+                              ProblemRegion(1.0e4, 0.4, 0.4, 0.2, 0.2)))
+    rects = disjoint_rects(region_cell_bounds(cfg), cfg.nx, cfg.ny)
+    got, seen = _density_from_rects(rects, cfg.nx, cfg.ny)
+    assert (seen == 1).all()
+    np.testing.assert_array_equal(got, build_density(cfg))
+
+
+def test_u64_sum_u32():
+    rng = np.random.default_rng(3)
+    v = rng.integers(0, 1 << 16, 100_001).astype(np.uint32)
+    hi, lo = u64_sum_u32(jnp.asarray(v))
+    total = int(hi) * (1 << 32) + int(lo)
+    assert total == int(v.astype(np.uint64).sum())
+
+
+# ---------------------------------------------------------------------------
+# rasterizer stack
+# ---------------------------------------------------------------------------
+
+def _random_segs(rng, n, nx, ny, boundary_aligned=True):
+    """Random segments in cell units; optionally on integer boundaries
+    (the flight engine emits boundary-to-boundary interiors)."""
+    x0 = rng.uniform(0, nx, n)
+    y0 = rng.uniform(0, ny, n)
+    x1 = rng.uniform(0, nx, n)
+    y1 = rng.uniform(0, ny, n)
+    if boundary_aligned:
+        x0, y0 = np.floor(x0), np.round(y0, 3)
+    kk = rng.uniform(0.5, 2.0, n)
+    segs = np.zeros((n, 8), np.float64)
+    segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3], segs[:, 4] = (
+        x0, y0, x1, y1, kk)
+    return segs
+
+
+def test_rasterize_xla_matches_ref():
+    rng = np.random.default_rng(11)
+    nx, ny = 56, 40
+    segs = _random_segs(rng, 37, nx, ny)
+    flat = raster.rasterize_xla(jnp.zeros(nx * ny, jnp.float64),
+                                jnp.asarray(segs), jnp.int32(segs.shape[0]),
+                                nx=nx, ny=ny, max_steps=nx + ny + 2)
+    want = raster.rasterize_ref(np.zeros((ny, nx)), segs[:, :5])
+    np.testing.assert_allclose(np.asarray(flat).reshape(ny, nx), want,
+                               rtol=1e-12, atol=1e-13)
+    # conservation: every segment deposits exactly kk (fully inside grid)
+    np.testing.assert_allclose(float(flat.sum()), segs[:, 4].sum(),
+                               rtol=1e-12)
+
+
+def test_rasterize_xla_respects_nseg():
+    rng = np.random.default_rng(2)
+    nx = ny = 16
+    segs = _random_segs(rng, 10, nx, ny)
+    flat = raster.rasterize_xla(jnp.zeros(nx * ny, jnp.float64),
+                                jnp.asarray(segs), jnp.int32(4),
+                                nx=nx, ny=ny, max_steps=nx + ny + 2)
+    want = raster.rasterize_ref(np.zeros((ny, nx)), segs[:4, :5])
+    np.testing.assert_allclose(np.asarray(flat).reshape(ny, nx), want,
+                               rtol=1e-12, atol=1e-13)
+
+
+def test_expand_pairs_visit_all_crossed_tiles():
+    rng = np.random.default_rng(5)
+    tile, ntx, nty = 8, 6, 5
+    nx, ny = tile * ntx, tile * nty
+    segs = _random_segs(rng, 25, nx, ny, boundary_aligned=False)
+    scap, pcap = 32, 1024
+    buf = np.zeros((scap, 8), np.float32)
+    buf[:25] = segs.astype(np.float32)
+    key, seg_idx, offsets = raster.expand_pairs(
+        jnp.asarray(buf), jnp.int32(25), tile=tile, ntx=ntx, nty=nty,
+        pair_cap=pcap)
+    key = np.asarray(key)
+    seg_idx = np.asarray(seg_idx)
+    offsets = np.asarray(offsets)
+    # per-tile ranges must be consistent
+    assert offsets[0] == 0
+    assert (np.diff(offsets) >= 0).all()
+    got = {}
+    for t in range(ntx * nty):
+        for p in range(offsets[t], offsets[t + 1]):
+            assert key[p] == t
+            got.setdefault(int(seg_idx[p]), set()).add(t)
+    # oracle: dense supersampling of each segment
+    for s in range(25):
+        x0, y0, x1, y1 = buf[s, :4].astype(np.float64)
+        ts = np.linspace(0, 1, 20001)
+        tx = np.clip((x0 + ts * (x1 - x0)) / tile, 0, ntx - 1e-9).astype(int)
+        ty = np.clip((y0 + ts * (y1 - y0)) / tile, 0, nty - 1e-9).astype(int)
+        want = set(map(int, ty * ntx + tx))
+        have = got.get(s, set())
+        # expansion must visit every supersampled tile; it may add tiles
+        # only at corner grazings (measure-zero contributions)
+        assert want <= have, f"segment {s}: missing {want - have}"
+        assert len(have - want) <= 2
+
+
+def test_raster_drain_interpret_matches_ref():
+    rng = np.random.default_rng(13)
+    tile, ntx, nty = 8, 4, 3
+    nx, ny = tile * ntx, tile * nty
+    n = 23
+    segs = _random_segs(rng, n, nx, ny).astype(np.float32)
+    scap, pcap = 32, 2048
+    buf = np.zeros((scap, 8), np.float32)
+    buf[:n] = segs
+    out = raster.raster_drain(jnp.zeros((ny, nx), jnp.float32),
+                              jnp.asarray(buf), jnp.int32(n), tile=tile,
+                              ntx=ntx, nty=nty, pair_cap=pcap,
+                              interpret=True)
+    want = raster.rasterize_ref(np.zeros((ny, nx)),
+                                segs[:, :5].astype(np.float64))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# flight engine vs the facet-stepping engine (driver level, f64)
+# ---------------------------------------------------------------------------
+
+def make_cfg(kind, n=400, nx=64, iters=2, dtype="float64"):
+    if kind == "stream":
+        problems = (ProblemRegion(1.0e-30, 0, 0, 1, 1),)
+        e0 = 1.0e6
+        src = SourceBox(0.45, 0.45, 0.1, 0.1)
+    elif kind == "csp":
+        problems = (ProblemRegion(1.0e-30, 0, 0, 1, 1),
+                    ProblemRegion(1.0e4, 0.4, 0.4, 0.2, 0.2))
+        e0 = 1.0e4
+        src = SourceBox(0.1, 0.1, 0.2, 0.2)
+    elif kind == "split":
+        problems = (ProblemRegion(1.0e-30, 0.0, 0.0, 1.0, 0.5),
+                    ProblemRegion(1.0e3, 0.0, 0.5, 1.0, 0.5))
+        e0 = 2.5e4
+        src = SourceBox(0.4, 0.4, 0.2, 0.2)
+    elif kind == "scatter":
+        problems = (ProblemRegion(1.0e4, 0, 0, 1, 1),)
+        e0 = 1.0e3
+        src = SourceBox(0.2, 0.2, 0.6, 0.6)
+    else:
+        raise ValueError(kind)
+    return SimConfig(nx=nx, ny=nx, width=1.0, height=1.0, dt=1e-7,
+                     niters=iters, nparticles=n, initial_energy=e0,
+                     source=src, problems=problems, dtype=dtype,
+                     tally_dtype=dtype)
+
+
+def _run(cfg, engine):
+    sim = Simulation(cfg.with_(engine=engine), quiet=True)
+    stats = []
+    for tt in range(1, cfg.niters + 1):
+        m = sim.step(tt)
+        stats.append((m.nfacets, m.ncollisions, m.nprocessed))
+    return np.asarray(sim.tally, np.float64), stats
+
+
+@pytest.mark.parametrize("kind", ["stream", "csp", "split", "scatter"])
+def test_flight_matches_xla_engine_f64(kind):
+    cfg = make_cfg(kind)
+    t_x, s_x = _run(cfg, "xla")
+    t_f, s_f = _run(cfg, "flight")
+    # identical RNG streams => identical event counts per step
+    assert s_f == s_x
+    np.testing.assert_allclose(t_f.sum(), t_x.sum(), rtol=1e-11)
+    np.testing.assert_allclose(t_f, t_x, rtol=1e-7, atol=1e-30)
+
+
+def test_flight_f32_within_tolerance_of_f64():
+    cfg = make_cfg("csp", n=600, iters=3)
+    t_x, _ = _run(cfg, "xla")
+    t_f, _ = _run(cfg.with_(dtype="float32", tally_dtype="float32"),
+                  "flight")
+    assert abs(t_f.sum() - t_x.sum()) / abs(t_x.sum()) < 1e-3
+
+
+def test_flight_tiny_buffers_stall_and_recover():
+    cfg = make_cfg("stream", n=300, iters=1)
+    t_big, s_big = _run(cfg, "flight")
+    sim = Simulation(cfg.with_(engine="flight"), quiet=True)
+    sim.flight_seg_cap = 64          # force many drain stalls
+    sim.flight_flush_cap = 128
+    sim.flight_pair_cap = 4096
+    m = sim.step(1)
+    t_small = np.asarray(sim.tally, np.float64)
+    assert (m.nfacets, m.ncollisions, m.nprocessed) == s_big[0]
+    np.testing.assert_allclose(t_small, t_big.reshape(t_small.shape),
+                               rtol=1e-9, atol=1e-33)
