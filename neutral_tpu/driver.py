@@ -494,9 +494,13 @@ class Simulation(SimulationBase):
         cfg = self.cfg
         self.profile.start()
         master_key = jnp.uint32(tt)
+        # Count processed lanes from the PRE-step state (begin_timestep
+        # does not change deadness): full's buffers are donated to the
+        # first flight_chunk call, and a pending read on a donated buffer
+        # forces a copy through the (slow) remote-device path.
+        nprocessed = jnp.count_nonzero(~self.state.dead)
         full = begin_timestep(self.state, self.mesh, self.geom,
                               self.cs_scatter, cfg.dt, master_key)
-        nprocessed = jnp.count_nonzero(~full.dead)
         counts = EventCounts.zeros()
         nsweeps = 0
         inv_ntotal = 1.0 / cfg.nparticles
@@ -516,9 +520,13 @@ class Simulation(SimulationBase):
         segbuf = jnp.zeros((SCAP, 8), self.dtype)
         zero_i = jnp.zeros((), jnp.int32)
 
+        import os
+        import time as _time
+        dbg = bool(os.environ.get("NEUTRAL_TPU_DEBUG_PHASES"))
         part, sel = full, None
         min_cap = self.compact_min
         while True:
+            t0 = _time.perf_counter()
             max_sw = (self.chunk_sweeps if part.n > 262144
                       else self.chunk_sweeps * 8)
             (part, counts, fbuf_cell, fbuf_val, segbuf, fcnt, scnt,
@@ -529,17 +537,23 @@ class Simulation(SimulationBase):
             nsweeps += int(done)
             if sel is None:
                 full = part  # donated inputs: keep `full` aliased live
+            t1 = _time.perf_counter()
             self.tally = drain_flushes(self.tally, fbuf_cell, fbuf_val,
                                        fcnt)
             if use_tpu_raster:
-                rbuf = raster_drain(rbuf, segbuf.astype(jnp.float32),
-                                    scnt, tile=TILE, ntx=ntx, nty=nty,
-                                    pair_cap=PCAP)
+                rbuf = raster_drain(rbuf, segbuf, scnt, tile=TILE,
+                                    ntx=ntx, nty=nty, pair_cap=PCAP)
             else:
                 rflat = rasterize_xla(rflat, segbuf, scnt, nx=cfg.nx,
                                       ny=cfg.ny,
                                       max_steps=cfg.nx + cfg.ny + 2)
-            if not bool(any_live):
+            alive = bool(any_live)
+            if dbg:
+                jax.block_until_ready(rbuf if use_tpu_raster else rflat)
+                print(f"[flight] n={part.n} chunk={t1 - t0:.2f}s "
+                      f"drain={_time.perf_counter() - t1:.2f}s "
+                      f"scnt={int(scnt)} spairs={int(spairs)}", flush=True)
+            if not alive:
                 break
             cap = part.n
             if self.compact_enabled and cap > min_cap:
