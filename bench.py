@@ -1,20 +1,20 @@
-"""Headline benchmark: event throughput on the scatter problem.
+"""Benchmark: event throughput on all four reference problems.
 
-Runs the reference's flagship config (problems/scatter: 10M particles,
-4000x4000 mesh, collision-dominated) end-to-end on the available
-device(s) and prints ONE JSON line:
+Runs each shipped deck (scatter / stream / csp / split) end-to-end on the
+available device(s), validates the tally, and prints one JSON line per
+deck followed by a final headline line (the driver records the LAST line):
 
-    {"metric": ..., "value": N, "unit": "events/s", "vs_baseline": N}
+    {"metric": "scatter_events_per_s", "value": N, ..., "problems": {...}}
 
-`vs_baseline` is measured against the reference omp3 backend's events/s on
-this machine's CPU (captured in BASELINE.md; the repo itself publishes no
-numbers).  Validation against the golden tally is checked and reported in
-the JSON so a fast-but-wrong run is visible.
+`vs_baseline` compares against the reference omp3 backend measured on
+this machine's CPU (BASELINE.md; the reference repo publishes no numbers).
+csp note: the shipped golden is a statistical outlier that the reference's
+own omp3 backend misses by 1.5e-3 (BASELINE.md) — csp validates against
+omp3's converged value instead, with the golden deviation also reported.
 
-Methodology: one warmup pass first runs the identical shapes so
-trace/compile cost (compiled executables are disk-cached, but tracing is
-per-process) stays out of the measured pass — the same discipline the
-reference's own metric needs (its step time excludes program load).
+Methodology: one warmup pass per deck runs the identical shapes so
+trace/compile cost (executables are disk-cached, but tracing is
+per-process) stays out of the measured pass.
 """
 
 from __future__ import annotations
@@ -24,9 +24,19 @@ import os
 import sys
 import time
 
-# Reference omp3 (GCC -O3 -march=native, this machine's 1-core CPU,
-# problems/scatter): 6.987e9 collision events in 1350.2 s — see BASELINE.md.
-BASELINE_EVENTS_PER_S = 5.17e6
+# Reference omp3 (GCC -O3 -march=native, this machine's 1-core CPU) —
+# events/s measured in BASELINE.md.  split's rate was not captured there
+# (no golden ships for it); None = no baseline ratio reported.
+BASELINES = {
+    "scatter": 5.17e6,
+    "stream": 1.14e7,
+    "csp": 1.35e7,
+    "split": None,
+}
+
+# omp3's own csp tally on this machine (BASELINE.md): the acceptance
+# anchor for csp instead of the outlier golden.
+CSP_OMP3_TALLY = 1.120146418000e+07
 
 
 def run_problem(cfg, n_dev):
@@ -51,23 +61,14 @@ def run_problem(cfg, n_dev):
     return events, solve_time, tally
 
 
-def main() -> int:
-    import jax
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    os.chdir(here)
-    sys.path.insert(0, here)
-
+def bench_deck(name: str, here: str, n_dev: int) -> dict:
     from neutral_tpu.config import load_config
     from neutral_tpu.constants import VALIDATE_TOLERANCE
 
-    cfg = load_config(os.path.join(here, "problems", "scatter.params"))
-    n_dev = len(jax.devices())
+    cfg = load_config(os.path.join(here, "problems", f"{name}.params"))
 
-    # The remote-TPU link occasionally stalls; one retry covers a
-    # transient drop without masking real failures.  The first failure is
-    # logged in full so a deterministic bug that happens to pass on retry
-    # is still visible.
+    # One retry covers a transient remote-TPU drop; the first failure is
+    # logged so a deterministic bug that passes on retry stays visible.
     for attempt in range(2):
         try:
             run_problem(cfg, n_dev)  # warmup: trace + compile all shapes
@@ -75,7 +76,8 @@ def main() -> int:
             break
         except Exception:
             import traceback
-            print(f"bench attempt {attempt + 1} failed:", file=sys.stderr)
+            print(f"bench[{name}] attempt {attempt + 1} failed:",
+                  file=sys.stderr)
             traceback.print_exc()
             if attempt == 1:
                 raise
@@ -84,19 +86,45 @@ def main() -> int:
     expected = cfg.expected_tally
     rel_err = (abs(tally_sum - expected) / abs(expected)
                if expected else float("nan"))
-    events_per_s = events / solve_time
-
-    print(json.dumps({
-        "metric": "scatter_events_per_s",
-        "value": events_per_s,
+    validated = bool(expected) and rel_err < VALIDATE_TOLERANCE
+    rec = {
+        "metric": f"{name}_events_per_s",
+        "value": events / solve_time,
         "unit": "events/s",
-        "vs_baseline": events_per_s / BASELINE_EVENTS_PER_S,
         "tally_rel_err": rel_err,
-        "validated": bool(rel_err < VALIDATE_TOLERANCE),
-        "n_devices": n_dev,
+        "validated": validated,
         "events": events,
         "solve_time_s": solve_time,
-    }))
+    }
+    if name == "csp":
+        rel_omp3 = abs(tally_sum - CSP_OMP3_TALLY) / CSP_OMP3_TALLY
+        rec["tally_rel_err_vs_omp3"] = rel_omp3
+        rec["validated"] = bool(rel_omp3 < VALIDATE_TOLERANCE)
+    base = BASELINES.get(name)
+    rec["vs_baseline"] = (rec["value"] / base) if base else None
+    return rec
+
+
+def main() -> int:
+    import jax
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    os.chdir(here)
+    sys.path.insert(0, here)
+
+    n_dev = len(jax.devices())
+    results = {}
+    for name in ("scatter", "stream", "csp", "split"):
+        rec = bench_deck(name, here, n_dev)
+        rec["n_devices"] = n_dev
+        results[name] = rec
+        print(json.dumps(rec), flush=True)
+
+    head = dict(results["scatter"])
+    head["problems"] = {k: {kk: vv for kk, vv in v.items()
+                            if kk != "problems"}
+                        for k, v in results.items()}
+    print(json.dumps(head), flush=True)
     return 0
 
 

@@ -187,7 +187,16 @@ class SimulationBase:
             # collision-tuned Mosaic ring engine.
             on_tpu = jax.default_backend() == "tpu"
             self.use_pallas = bool(cfg.fast_math and is_f32 and on_tpu)
+            # Decks with near-vacuum regions are facet-dominated there:
+            # free flight through a vacuum rect replaces thousands of
+            # per-cell facet events with one closed-form piece, and the
+            # fused Mosaic flight kernel handles the collision-heavy
+            # dense regions at ring-engine speed (measured: stream 131s
+            # -> ~14s, csp 8.5 -> 3.1 s/step, split 107 -> ~3s on one
+            # v5e).  Uniformly dense decks (scatter) have sub-cell
+            # flights everywhere — they stay on the leaner ring engine.
             if (on_tpu and cfg.fast_math and is_f32 and self.supports_flight
+                    and cfg.problems
                     and any(r.density < 1.0 for r in cfg.problems)):
                 self.use_flight = True
                 self.use_pallas = False
@@ -229,9 +238,11 @@ class SimulationBase:
         """Full timestep loop.  Returns the global tally sum."""
         cfg = self.cfg
         out = self._print
+        # File outputs come from process 0 only (multi-host runs).
+        dump = cfg.visit_dump and jax.process_index() == 0
         for tt in range(1, cfg.niters + 1):
             out(f"\nIteration  {tt}")
-            if cfg.visit_dump:
+            if dump:
                 self._dump_particle_density(tt)
 
             m = self.step(tt)
@@ -247,7 +258,7 @@ class SimulationBase:
             out(f"Collision Events / s {m.ncollisions / m.step_time:.2e}")
 
             self.elapsed_sim_time += cfg.dt
-            if cfg.visit_dump:
+            if dump:
                 tally2d = np.asarray(self.tally).reshape(cfg.ny, cfg.nx)
                 io_utils.write_bov(f"energy{tt}", tally2d,
                                    variable="energy",
@@ -256,7 +267,7 @@ class SimulationBase:
                 out("Reached end of simulation time")
                 break
 
-        if cfg.visit_dump:
+        if dump:
             self._dump_particle_density(cfg.niters + 1)
 
         result = self.validate()
@@ -491,6 +502,9 @@ class Simulation(SimulationBase):
         from .raster import TILE, grid_shape, raster_drain, rasterize_xla
         from .transport import EventCounts, begin_timestep
 
+        if jax.default_backend() == "tpu":
+            return self._step_flight_fused(tt)
+
         cfg = self.cfg
         self.profile.start()
         master_key = jnp.uint32(tt)
@@ -584,6 +598,137 @@ class Simulation(SimulationBase):
         self.step_metrics.append(m)
         return m
 
+    # ------------------------------------------------------------------
+    def _step_flight_fused(self, tt: int, interpret: bool = False
+                           ) -> StepMetrics:
+        """Flight step on the fused Mosaic kernel (pallas_flight.py).
+
+        Per-lane flush/segment rings live in VMEM across k-piece kernel
+        calls; flush rings drain into the tally inside the chunk loop,
+        segment rings extract into the flat buffer which the host
+        rasterizes at chunk boundaries.  Rings are lane-indexed, so they
+        are drained/extracted before any lane compaction.
+        """
+        from .pallas_flight import (extract_ring_segments, make_seg_ring,
+                                    pallas_flight_chunk)
+        from .pallas_sweep import drain_rings, make_rings
+        from .particles import live_count, merge_compacted, select_working
+        from .raster import TILE, grid_shape, raster_drain
+        from .transport import EventCounts, begin_timestep
+
+        cfg = self.cfg
+        self.profile.start()
+        master_key = jnp.uint32(tt)
+        nprocessed = jnp.count_nonzero(~self.state.dead)
+        full = begin_timestep(self.state, self.mesh, self.geom,
+                              self.cs_scatter, cfg.dt, master_key)
+        counts = EventCounts.zeros()
+        nsweeps = 0
+        inv_ntotal = 1.0 / cfg.nparticles
+
+        nty, ntx = grid_shape(cfg.nx, cfg.ny, TILE)
+        SCAP = self.flight_seg_cap
+        PCAP = self.flight_pair_cap
+        # Small-batch expansion tier: the raster's sort/cumsum machinery is
+        # statically shaped by pair_cap, so draining a lightly-filled
+        # buffer through the full-size expansion wastes ~1s.
+        PCAP_SMALL = max(PCAP // 8, 1 << 17)
+        tally_dt = self.tally.dtype
+
+        def raster(rb, sb, nseg, npairs):
+            if nseg == 0:
+                return rb
+            cap = PCAP_SMALL if npairs <= PCAP_SMALL else PCAP
+            return raster_drain(rb, sb, jnp.int32(nseg), tile=TILE,
+                                ntx=ntx, nty=nty, pair_cap=cap,
+                                interpret=interpret)
+
+        rbuf = jnp.zeros((nty * TILE, ntx * TILE), jnp.float32)
+        segbuf = jnp.zeros((SCAP, 8), self.dtype)
+        zero_i = jnp.zeros((), jnp.int32)
+
+        import os
+        import time as _time
+        dbg = bool(os.environ.get("NEUTRAL_TPU_DEBUG_PHASES"))
+
+        part, sel = full, None
+        min_cap = self.compact_min
+        fc, fv, fn = make_rings(part.n, tally_dt, ring_slots=8)
+        sfields, sn = make_seg_ring(part.n, self.dtype)
+        sbase = spairs = zero_i
+        while True:
+            t0 = _time.perf_counter()
+            max_calls = (32 if part.n > 262144 else 256)
+            (part, self.tally, counts, fc, fv, fn, sfields, sn, segbuf,
+             sbase, spairs, done, any_live) = pallas_flight_chunk(
+                part, self.tally, counts, fc, fv, fn, sfields, sn, segbuf,
+                sbase, spairs, self.cs_scatter, self.cs_absorb, self.geom,
+                master_key, inv_ntotal, max_calls, tile=TILE,
+                pair_cap=PCAP, interpret=interpret)
+            nsweeps += int(done)
+            if sel is None:
+                full = part
+            t1 = _time.perf_counter()
+            nseg, npairs = int(sbase), int(spairs)
+            rbuf = raster(rbuf, segbuf, nseg, npairs)
+            if dbg:
+                print(f"[flight-fused] n={part.n} chunk={t1 - t0:.2f}s "
+                      f"sbase={nseg} spairs={npairs}", flush=True)
+            sbase = spairs = zero_i
+            if not bool(any_live):
+                break
+            cap = part.n
+            if self.compact_enabled and cap > min_cap:
+                live = int(live_count(part))
+                target = max(min_cap, 1 << (max(live, 1) - 1).bit_length())
+                if target <= cap // 2:
+                    # Rings are lane-indexed: empty them before reordering.
+                    self.tally, fc, fv, fn = drain_rings(self.tally, fc,
+                                                         fv, fn)
+                    while True:
+                        (segbuf, sbase, spairs, (sfields, sn),
+                         left) = extract_ring_segments(
+                            sfields, sn, segbuf, zero_i, zero_i,
+                            tile=TILE, pair_cap=PCAP)
+                        rbuf = raster(rbuf, segbuf, int(sbase),
+                                      int(spairs))
+                        sbase = spairs = zero_i
+                        if not bool(left):
+                            break
+                    if sel is not None:
+                        full = merge_compacted(full, part, sel)
+                    else:
+                        full = part
+                    part, sel = select_working(full, target)
+                    fc, fv, fn = make_rings(target, tally_dt,
+                                            ring_slots=8)
+                    sfields, sn = make_seg_ring(target, self.dtype)
+        # final ring drains
+        self.tally, fc, fv, fn = drain_rings(self.tally, fc, fv, fn)
+        while True:
+            segbuf, sbase, spairs, (sfields, sn), left = \
+                extract_ring_segments(sfields, sn, segbuf, zero_i, zero_i,
+                                      tile=TILE, pair_cap=PCAP)
+            rbuf = raster(rbuf, segbuf, int(sbase), int(spairs))
+            sbase = spairs = zero_i
+            if not bool(left):
+                break
+        if sel is not None:
+            full = merge_compacted(full, part, sel)
+        else:
+            full = part
+        self.state = full
+        self.tally = self.tally + rbuf[:cfg.ny, :cfg.nx].reshape(
+            -1).astype(tally_dt)
+        jax.block_until_ready(self.tally)
+        step_time = self.profile.stop(f"step{tt}")
+        nf, nc = counts.totals()
+        m = StepMetrics(step=tt, step_time=step_time, nfacets=nf,
+                        ncollisions=nc, nprocessed=int(nprocessed),
+                        nsweeps=int(nsweeps))
+        self.step_metrics.append(m)
+        return m
+
 
 def within_tolerance(expected: float, actual: float, tol: float) -> bool:
     """Relative-tolerance check, as arch's within_tolerance."""
@@ -636,7 +781,24 @@ def main(argv: list[str] | None = None) -> int:
                         "sharded particles (reference master semantics), "
                         "spatial y-slabs, or 2D (x,y) blocks — both with "
                         "flow-controlled particle migration")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host run: call jax.distributed.initialize "
+                        "with environment-provided rendezvous (TPU pods "
+                        "auto-detect) before device discovery — the TPU "
+                        "analog of the reference's MPI launch "
+                        "(main.c:62-64)")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="explicit multi-host rendezvous address (implies "
+                        "--distributed; requires --num-processes and "
+                        "--process-id)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     args = p.parse_args(argv)
+
+    if args.distributed or args.coordinator:
+        from .parallel import initialise_distributed
+        initialise_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
 
     cfg = load_config(args.params)
     if args.nparticles:
@@ -669,38 +831,50 @@ def main(argv: list[str] | None = None) -> int:
         jax.config.update("jax_enable_x64", True)
 
     # Startup banner (the reference prints its OpenMP thread count here,
-    # main.c:52-53).
+    # main.c:52-53).  In multi-process runs only process 0 talks.
     devs = jax.devices()
-    print(f"Starting up on {len(devs)} device(s): {devs[0].platform}.")
-    print(f"Loading problem from {args.params}.")
+    is_main = jax.process_index() == 0
+    quiet = not is_main
+    if is_main:
+        if jax.process_count() > 1:
+            print(f"Distributed: {jax.process_count()} processes, "
+                  f"{len(devs)} global devices.")
+        print(f"Starting up on {len(devs)} device(s): {devs[0].platform}.")
+        print(f"Loading problem from {args.params}.")
 
     if len(devs) > 1:
         if args.decomposition == "spatial":
             from .parallel import SpatialSimulation
-            sim = SpatialSimulation(cfg,
+            sim = SpatialSimulation(cfg, quiet=quiet,
                                     events_per_sweep=args.events_per_sweep)
-            print(f"Spatial slab decomposition over {len(devs)} devices.")
+            if is_main:
+                print(f"Spatial slab decomposition over {len(devs)} "
+                      "devices.")
         elif args.decomposition == "spatial2d":
             from .parallel import Spatial2DSimulation
-            sim = Spatial2DSimulation(cfg,
+            sim = Spatial2DSimulation(cfg, quiet=quiet,
                                       events_per_sweep=args.events_per_sweep)
-            print(f"Spatial 2D decomposition over {len(devs)} devices "
-                  f"({sim.py}x{sim.px}).")
+            if is_main:
+                print(f"Spatial 2D decomposition over {len(devs)} devices "
+                      f"({sim.py}x{sim.px}).")
         else:
             from .parallel import ShardedSimulation
-            sim = ShardedSimulation(cfg,
+            sim = ShardedSimulation(cfg, quiet=quiet,
                                     events_per_sweep=args.events_per_sweep)
-            print(f"Sharding particles over {len(devs)} devices.")
+            if is_main:
+                print(f"Sharding particles over {len(devs)} devices.")
     else:
-        sim = Simulation(cfg, events_per_sweep=args.events_per_sweep)
+        sim = Simulation(cfg, quiet=quiet,
+                         events_per_sweep=args.events_per_sweep)
     if args.restore:
         start = sim.restore(args.restore)
-        print(f"Restored checkpoint at step {start}")
+        if is_main:
+            print(f"Restored checkpoint at step {start}")
 
     from .profiler import maybe_trace
     with maybe_trace(args.trace_dir):
         sim.run()
-    if args.checkpoint:
+    if args.checkpoint and is_main:
         sim.checkpoint(args.checkpoint, len(sim.step_metrics))
     return 0
 

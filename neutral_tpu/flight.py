@@ -134,7 +134,7 @@ def u64_sum_u32(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 def flight_core(state: ParticleState, geom: Geometry,
                 scatter_tab: CrossSection, absorb_tab: CrossSection,
-                master_key, inv_ntotal: float, tally_dtype):
+                master_key, inv_ntotal: float, tally_dtype, gate=None):
     """Advance every live lane through exactly ONE flight piece.
 
     Pure math, no tally scatter; the caller owns buffer appends and may
@@ -163,6 +163,10 @@ def flight_core(state: ParticleState, geom: Geometry,
     dtype = state.dtype
     zero = _c(0.0, dtype)
     live = (~state.dead) & (state.dt_to_census > zero)
+    if gate is not None:
+        # Paused lanes (full rings / exhausted buffers) freeze bitwise,
+        # exactly like the Mosaic ring engine's pause semantics.
+        live = live & gate
 
     dx = _c(geom.dx, dtype)
     dy = _c(geom.dy, dtype)
@@ -232,9 +236,12 @@ def flight_core(state: ParticleState, geom: Geometry,
     exit_x = is_exit & x_wall
     exit_y = is_exit & (~x_wall)
     # Reflection: the exited wall is the global boundary
-    # (omp3/neutral.c:333-369).
-    refl_x = exit_x & jnp.where(pos_x, rix1 == geom.global_nx, rix0 == 0)
-    refl_y = exit_y & jnp.where(pos_y, riy1 == geom.global_ny, riy0 == 0)
+    # (omp3/neutral.c:333-369).  (Logical ops, not where-on-bool: Mosaic
+    # has no i8->i1 select truncation.)
+    refl_x = exit_x & ((pos_x & (rix1 == geom.global_nx))
+                       | ((~pos_x) & (rix0 == 0)))
+    refl_y = exit_y & ((pos_y & (riy1 == geom.global_ny))
+                       | ((~pos_y) & (riy0 == 0)))
     is_refl = refl_x | refl_y
 
     fcx = jnp.floor(x1 * inv_dx).astype(i32)

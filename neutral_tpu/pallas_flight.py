@@ -1,0 +1,376 @@
+"""Pallas (Mosaic) fused multi-piece flight kernel.
+
+The XLA flight loop (flight.flight_chunk) pays per-sweep dispatch and
+full-width buffer-append scatters for every piece — fine for pure
+streaming decks (a handful of pieces per lane) but dispatch-bound for
+collision-heavy mixed decks (csp/split: hundreds of collisions per lane).
+This kernel keeps a block of lanes VMEM-resident and advances it through
+K flight pieces per grid step, exactly like pallas_sweep does for facet
+events:
+
+  * tally flushes (up to TWO per piece: first-cell exit + death/census,
+    flight.flight_core) push into a per-lane pending ring — identical
+    structure to pallas_sweep's rings, drained by the same
+    pallas_sweep._drain_rings scatter;
+  * rasterizer segments push into a 5-field per-lane segment ring,
+    extracted into the flat segment buffer between kernel calls and
+    rasterized by raster.raster_drain at chunk boundaries.
+
+Lanes whose rings cannot take one more piece pause in place (in-kernel
+gate, bitwise-frozen), so overflow is impossible by construction.
+Physics comes from flight.flight_core — the same code the XLA path runs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .flight import flight_core, u64_sum_u32
+from .particles import ParticleState
+from .transport import EventCounts, Geometry
+from .xs import CrossSection
+from . import rng
+
+_ROWS = 64
+_LANES = 128
+
+_FIELDS = ("x", "y", "omega_x", "omega_y", "energy", "weight",
+           "dt_to_census", "mfp_to_collision", "deposit", "cellx", "celly",
+           "dead", "pid", "counter")
+_NF = len(_FIELDS)
+_SEGF = 5          # gx0, gy0, gx1, gy1, kk
+
+
+def _block_rows(n: int) -> int:
+    for rows in (_ROWS, 32, 8, 1):
+        if n % (rows * _LANES) == 0:
+            return rows
+    raise ValueError(f"lane count {n} not a multiple of {_LANES}")
+
+
+def _kernel(geom: Geometry, scatter_tab: CrossSection,
+            absorb_tab: CrossSection, inv_ntotal: float, k_pieces: int,
+            f_slots: int, s_slots: int, tally_dtype, mk_ref, *refs):
+    in_refs = refs[:_NF]
+    fc_in, fv_in, fn_in = refs[_NF:_NF + 3]
+    sring_in = refs[_NF + 3:_NF + 3 + _SEGF]
+    sn_in = refs[_NF + 3 + _SEGF]
+    o = _NF + 4 + _SEGF
+    out_refs = refs[o:o + _NF]
+    fc_out, fv_out, fn_out = refs[o + _NF:o + _NF + 3]
+    sring_out = refs[o + _NF + 3:o + _NF + 3 + _SEGF]
+    sn_out, nfac_ref, ncol_ref = refs[o + _NF + 3 + _SEGF:]
+
+    vals = {f: r[:] for f, r in zip(_FIELDS, in_refs)}
+    vals["dead"] = vals["dead"] != 0
+    state = ParticleState(**vals)
+    mk = mk_ref[0, 0]
+
+    fc_rows = [fc_in[s] for s in range(f_slots)]
+    fv_rows = [fv_in[s] for s in range(f_slots)]
+    fslot = fn_in[:]
+    sg_rows = [[sring_in[f][s] for s in range(s_slots)]
+               for f in range(_SEGF)]
+    sslot = sn_in[:]
+
+    nfac = jnp.zeros(state.x.shape, jnp.uint32)
+    ncol = jnp.zeros(state.x.shape, jnp.int32)
+    for _ in range(k_pieces):
+        # A piece needs up to 2 flush slots and 1 segment slot.
+        gate = (fslot < f_slots - 1) & (sslot < s_slots)
+        (state, f1, c1, v1, f2, c2, v2, emit, gx0, gy0, gx1, gy1, kk,
+         nf_lane, is_coll) = flight_core(state, geom, scatter_tab,
+                                         absorb_tab, mk, inv_ntotal,
+                                         tally_dtype, gate=gate)
+        for s in range(f_slots):
+            hit = f1 & (fslot == s)
+            fc_rows[s] = jnp.where(hit, c1, fc_rows[s])
+            fv_rows[s] = jnp.where(hit, v1, fv_rows[s])
+        fslot = fslot + f1.astype(jnp.int32)
+        for s in range(f_slots):
+            hit = f2 & (fslot == s)
+            fc_rows[s] = jnp.where(hit, c2, fc_rows[s])
+            fv_rows[s] = jnp.where(hit, v2, fv_rows[s])
+        fslot = fslot + f2.astype(jnp.int32)
+        seg_vals = (gx0, gy0, gx1, gy1, kk)
+        for s in range(s_slots):
+            hit = emit & (sslot == s)
+            for f in range(_SEGF):
+                sg_rows[f][s] = jnp.where(hit, seg_vals[f], sg_rows[f][s])
+        sslot = sslot + emit.astype(jnp.int32)
+        nfac = nfac + nf_lane
+        ncol = ncol + is_coll.astype(jnp.int32)
+
+    for f, r in zip(_FIELDS, out_refs):
+        v = getattr(state, f)
+        if f == "dead":
+            v = v.astype(jnp.int32)
+        r[:] = v
+    for s in range(f_slots):
+        fc_out[s] = fc_rows[s]
+        fv_out[s] = fv_rows[s]
+    fn_out[:] = fslot
+    for f in range(_SEGF):
+        for s in range(s_slots):
+            sring_out[f][s] = sg_rows[f][s]
+    sn_out[:] = sslot
+    nfac_ref[:] = nfac
+    ncol_ref[:] = ncol
+
+
+def pallas_flight_multi(state: ParticleState, fring, sring,
+                        scatter_tab: CrossSection,
+                        absorb_tab: CrossSection, geom: Geometry,
+                        master_key, inv_ntotal: float, tally_dtype_arr,
+                        k_pieces: int = 8, interpret: bool = False):
+    """Advance every lane through k_pieces flight pieces in one kernel.
+
+    fring = (cells (Sf,N) i32, vals (Sf,N), count (N,) i32) — pending
+    tally flushes, drained with pallas_sweep._drain_rings.
+    sring = (5 x (Ss,N) f32 fields, count (N,) i32) — pending segments.
+    Returns (state', fring', sring', nfacets (hi,lo), ncollisions_u32).
+    """
+    if geom.rects is None or not geom.dx:
+        raise ValueError("pallas flight requires fast_math rect geometry")
+    n = state.x.shape[0]
+    rows = _block_rows(n)
+    grid = n // rows // _LANES
+    tally_dtype = tally_dtype_arr.dtype
+    fc, fv, fn = fring
+    sfields, sn = sring
+    f_slots = fc.shape[0]
+    s_slots = sfields[0].shape[0]
+
+    def shape2(a):
+        return a.reshape(n // _LANES, _LANES)
+
+    def shape3(a, s):
+        return a.reshape(s, n // _LANES, _LANES)
+
+    ins = []
+    for f in _FIELDS:
+        v = getattr(state, f)
+        if f == "dead":
+            v = v.astype(jnp.int32)
+        ins.append(shape2(v))
+    ins += [shape3(fc, f_slots), shape3(fv, f_slots), shape2(fn)]
+    ins += [shape3(sf, s_slots) for sf in sfields]
+    ins.append(shape2(sn))
+
+    state_spec = pl.BlockSpec((rows, _LANES), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    fring_spec = pl.BlockSpec((f_slots, rows, _LANES), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+    sring_spec = pl.BlockSpec((s_slots, rows, _LANES), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+
+    def dt_of(f):
+        if f in ("cellx", "celly", "dead"):
+            return jnp.int32
+        if f in ("pid", "counter"):
+            return jnp.uint32
+        return state.dtype
+
+    out_shape = (
+        tuple(jax.ShapeDtypeStruct((n // _LANES, _LANES), dt_of(f))
+              for f in _FIELDS)
+        + (jax.ShapeDtypeStruct((f_slots, n // _LANES, _LANES), jnp.int32),
+           jax.ShapeDtypeStruct((f_slots, n // _LANES, _LANES),
+                                tally_dtype),
+           jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.int32))
+        + tuple(jax.ShapeDtypeStruct((s_slots, n // _LANES, _LANES),
+                                     state.dtype) for _ in range(_SEGF))
+        + (jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.int32),
+           jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.uint32),
+           jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.int32)))
+
+    n_io = _NF + 4 + _SEGF
+    aliases = {i + 1: i for i in range(n_io)}
+
+    out = pl.pallas_call(
+        partial(_kernel, geom, scatter_tab, absorb_tab, inv_ntotal,
+                k_pieces, f_slots, s_slots, tally_dtype),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [state_spec] * _NF + [fring_spec, fring_spec, state_spec]
+        + [sring_spec] * _SEGF + [state_spec],
+        out_specs=tuple([state_spec] * _NF)
+        + (fring_spec, fring_spec, state_spec)
+        + tuple([sring_spec] * _SEGF)
+        + (state_spec, state_spec, state_spec),
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(jnp.asarray(master_key, jnp.uint32).reshape(1, 1), *ins)
+
+    new_vals = {}
+    for f, arr in zip(_FIELDS, out[:_NF]):
+        v = arr.reshape(n)
+        if f == "dead":
+            v = v != 0
+        new_vals[f] = v
+    new_state = ParticleState(**new_vals)
+    fring = (out[_NF].reshape(f_slots, n), out[_NF + 1].reshape(f_slots, n),
+             out[_NF + 2].reshape(n))
+    sfields = tuple(out[_NF + 3 + f].reshape(s_slots, n)
+                    for f in range(_SEGF))
+    sn = out[_NF + 3 + _SEGF].reshape(n)
+    nfac = out[_NF + 4 + _SEGF].reshape(n)
+    ncol = out[_NF + 5 + _SEGF].reshape(n)
+    return new_state, fring, (sfields, sn), nfac, ncol
+
+
+def make_seg_ring(n: int, dtype, s_slots: int = 4):
+    """Fresh (empty) segment ring: 5 field planes + per-lane count."""
+    return (tuple(jnp.zeros((s_slots, n), dtype) for _ in range(_SEGF)),
+            jnp.zeros((n,), jnp.int32))
+
+
+def _extract_segments(sfields, sn, segbuf, sbase, spairs, inv_tile,
+                      pair_cap):
+    """Move pending ring segments into the flat buffer, budget-gated.
+
+    Per-lane all-or-nothing: a lane's ring entries move together (its
+    count resets to 0) if the row AND (segment x tile) pair budgets still
+    fit; later lanes stay ring-pending and retry at the next drain, so
+    the statically-shaped rasterizer batch can never overflow.
+
+    Returns (segbuf, sbase, spairs, (sfields, sn'), left_over_mask_any).
+    """
+    s_slots, n = sfields[0].shape
+    scap = segbuf.shape[0]
+    valid = (jnp.arange(s_slots, dtype=jnp.int32)[:, None] < sn[None, :])
+    tx0 = jnp.floor(sfields[0] * inv_tile).astype(jnp.int32)
+    ty0 = jnp.floor(sfields[1] * inv_tile).astype(jnp.int32)
+    tx1 = jnp.floor(sfields[2] * inv_tile).astype(jnp.int32)
+    ty1 = jnp.floor(sfields[3] * inv_tile).astype(jnp.int32)
+    m = jnp.where(valid,
+                  jnp.abs(tx1 - tx0) + jnp.abs(ty1 - ty0) + 1, 0)
+    lane_rows = jnp.sum(valid, axis=0, dtype=jnp.int32)
+    lane_pairs = jnp.sum(m, axis=0, dtype=jnp.int32)
+    ok = ((sbase + jnp.cumsum(lane_rows) <= scap)
+          & (spairs + jnp.cumsum(lane_pairs) <= pair_cap))
+    take = (valid & ok[None, :]).reshape(-1)
+    flat = [f.reshape(-1) for f in sfields]
+    idx = sbase + jnp.cumsum(take.astype(jnp.int32)) - 1
+    idx = jnp.where(take, idx, scap)
+    zero = jnp.zeros_like(flat[0])
+    rows = jnp.stack(flat + [zero, zero, zero], axis=1)
+    segbuf = segbuf.at[idx].set(rows.astype(segbuf.dtype), mode="drop")
+    sbase = sbase + jnp.sum(take, dtype=jnp.int32)
+    spairs = spairs + jnp.sum(
+        jnp.where(ok[None, :], m, 0), dtype=jnp.int32)
+    sn_new = jnp.where(ok, 0, sn)
+    left_over = jnp.any((~ok) & (lane_rows > 0))
+    return segbuf, sbase, spairs, (sfields, sn_new), left_over
+
+
+@partial(jax.jit, static_argnames=("tile", "pair_cap"), donate_argnums=(2,))
+def extract_ring_segments(sfields, sn, segbuf, sbase, spairs,
+                          tile: int = 128,
+                          pair_cap: int = 8 * 1024 * 1024):
+    """Host-callable ring->buffer extraction (for compaction/step end).
+
+    Budget-gated like the in-chunk extraction; `left_over` tells the
+    caller to rasterize and call again.  Returns
+    (segbuf, sbase, spairs, (sfields, sn'), left_over).
+    """
+    inv_tile = np.float32(1.0 / tile)
+    return _extract_segments(sfields, sn, segbuf, sbase, spairs, inv_tile,
+                             pair_cap)
+
+
+@partial(jax.jit, static_argnames=("geom", "inv_ntotal", "max_calls",
+                                   "k_pieces", "tile", "pair_cap",
+                                   "interpret"),
+         donate_argnums=(0, 1, 3, 4, 5, 6, 7, 8))
+def pallas_flight_chunk(state: ParticleState, tally, counts: EventCounts,
+                        fc, fv, fn, sfields, sn, segbuf, sbase, spairs,
+                        scatter_tab: CrossSection,
+                        absorb_tab: CrossSection, geom: Geometry,
+                        master_key, inv_ntotal: float, max_calls: int,
+                        k_pieces: int = 8, tile: int = 128,
+                        pair_cap: int = 8 * 1024 * 1024,
+                        interpret: bool = False):
+    """Fused flight chunk: kernel calls + in-loop ring drains.
+
+    Flush rings drain straight into the tally (pallas_sweep._drain_rings);
+    segment rings extract into `segbuf` until it (or the pair budget)
+    fills, at which point the chunk returns so the host can rasterize.
+    Rings persist across chunks via the caller-owned arrays.
+    """
+    from .pallas_sweep import _drain_rings
+
+    SCAP = segbuf.shape[0]
+    n = state.x.shape[0]
+    s_slots = sfields[0].shape[0]
+    pause_budget = max(n // 2048, 1)
+    inv_tile = np.float32(1.0 / tile)
+
+    def working(s):
+        return (~s.dead) & (s.dt_to_census > 0)
+
+    def cond(carry):
+        (s, t, c, fc, fv, fn, sf, sn, sb, base, sp, it, full) = carry
+        return jnp.any(working(s)) & (it < max_calls) & (~full)
+
+    def body(carry):
+        (s, t, c, fc, fv, fn, sf, sn, sb, base, sp, it, full) = carry
+        s, (fc, fv, fn), (sf, sn), nfac, ncol = pallas_flight_multi(
+            s, (fc, fv, fn), (sf, sn), scatter_tab, absorb_tab, geom,
+            master_key, inv_ntotal, t, k_pieces=k_pieces,
+            interpret=interpret)
+        w = working(s)
+        f_full = fn >= fc.shape[0] - 1
+        s_full = sn >= s_slots
+        paused = w & (f_full | s_full)
+        npaused = jnp.count_nonzero(paused)
+        stuck = jnp.any(w) & ~jnp.any(w & ~(f_full | s_full))
+        do_drain = (npaused > pause_budget) | stuck
+
+        t, fc, fv, fn = lax.cond(
+            do_drain & jnp.any(fn > 0),
+            lambda op: _drain_rings(*op),
+            lambda op: op,
+            (t, fc, fv, fn))
+
+        def extract(op):
+            sf, sn, sb, base, sp = op
+            sb, base, sp, (sf, sn), left = _extract_segments(
+                sf, sn, sb, base, sp, inv_tile, pair_cap)
+            return sf, sn, sb, base, sp, left
+
+        n_pending = jnp.sum(jnp.minimum(sn, s_slots), dtype=jnp.int32)
+        sf, sn, sb, base, sp, left = lax.cond(
+            do_drain & (n_pending > 0),
+            extract,
+            lambda op: op + (jnp.zeros((), bool),),
+            (sf, sn, sb, base, sp))
+        # Some lanes didn't fit the batch budget: stop the chunk so the
+        # host rasterizes the buffer and re-enters (they stay ring-gated).
+        full = left
+
+        nf_hi, nf_lo = u64_sum_u32(nfac)
+        fh, fl = rng._add64(c.nfacets_hi, c.nfacets_lo, nf_hi, nf_lo)
+        nc_hi, nc_lo = u64_sum_u32(ncol.astype(jnp.uint32))
+        ch, cl = rng._add64(c.ncollisions_hi, c.ncollisions_lo, nc_hi,
+                            nc_lo)
+        c = EventCounts(fh, fl, ch, cl)
+        return (s, t, c, fc, fv, fn, sf, sn, sb, base, sp, it + 1, full)
+
+    carry = (state, tally, counts, fc, fv, fn, sfields, sn, segbuf, sbase,
+             spairs, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+    (state, tally, counts, fc, fv, fn, sfields, sn, segbuf, sbase, spairs,
+     ncalls, _) = lax.while_loop(cond, body, carry)
+    any_live = jnp.any((~state.dead) & (state.dt_to_census > 0))
+    return (state, tally, counts, fc, fv, fn, sfields, sn, segbuf, sbase,
+            spairs, ncalls * k_pieces, any_live)

@@ -278,8 +278,15 @@ def drain_rings_sharded(tally_parts, ring_cell, ring_val, ring_cnt,
 
 
 def combine_count_rows(c_rows) -> tuple[int, int]:
-    """(nshards, 4) u32 [hi_f, lo_f, hi_c, lo_c] rows -> (nfacets, ncoll)."""
+    """(nshards, 4) u32 [hi_f, lo_f, hi_c, lo_c] rows -> (nfacets, ncoll).
+
+    In multi-process runs the row array spans non-addressable shards;
+    process_allgather rebuilds the global (tiny) array on every host.
+    """
     import numpy as np
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        c_rows = multihost_utils.process_allgather(c_rows, tiled=True)
     a = np.asarray(c_rows, dtype=np.uint64)
     nf = int((a[:, 0] << np.uint64(32) | a[:, 1]).sum())
     nc = int((a[:, 2] << np.uint64(32) | a[:, 3]).sum())
@@ -477,12 +484,13 @@ def initialise_distributed(coordinator: str | None = None,
     """
     import jax
 
-    try:
-        if coordinator is None:
+    if coordinator is None:
+        try:
             jax.distributed.initialize()  # env-driven (TPU pods auto-detect)
-        else:
-            jax.distributed.initialize(coordinator_address=coordinator,
-                                       num_processes=num_processes,
-                                       process_id=process_id)
-    except (RuntimeError, ValueError):
-        pass  # single-process run or already initialized
+        except (RuntimeError, ValueError):
+            pass  # single-process run or already initialized
+    else:
+        # Explicit rendezvous parameters: surface failures loudly.
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)

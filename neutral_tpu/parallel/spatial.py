@@ -323,6 +323,67 @@ class SpatialSimulation(driver_mod.SimulationBase):
     def global_tally_sum(self) -> float:
         return float(np.asarray(self.tally_parts, dtype=np.float64).sum())
 
+    # ------------------------------------------------------------------
+    # Checkpoint/restore: the saved layout is whatever lane order the
+    # writer had (single-device flat, sharded, or a different spatial
+    # capacity).  Restore repartitions every live lane onto its owner
+    # shard at a fitting capacity — pid-keyed histories make the
+    # reordering physically invisible — and scatters the saved global
+    # tally back into the per-shard slabs.
+
+    def _restore_owner(self, host: ParticleState) -> np.ndarray:
+        return np.clip(np.asarray(host.celly) // self.rows, 0,
+                       self.nshards - 1)
+
+    def _shard_spec(self):
+        return NamedSharding(self.device_mesh, P(self.axis))
+
+    def _tally_slabs(self, tally: np.ndarray) -> np.ndarray:
+        """Global flat (ny*nx,) tally -> (nshards, rows*nx) slab rows."""
+        return np.asarray(tally).reshape(self.nshards,
+                                         self.rows * self.cfg.nx)
+
+    def restore(self, path: str) -> int:
+        from .. import io_utils
+        state, tally, step, t = io_utils.load_checkpoint(
+            path, expect_coords=self._coords_convention())
+        dt = self.dtype
+        host = ParticleState(
+            x=np.asarray(state.x, dt), y=np.asarray(state.y, dt),
+            omega_x=np.asarray(state.omega_x, dt),
+            omega_y=np.asarray(state.omega_y, dt),
+            energy=np.asarray(state.energy, dt),
+            weight=np.asarray(state.weight, dt),
+            dt_to_census=np.asarray(state.dt_to_census, dt),
+            mfp_to_collision=np.asarray(state.mfp_to_collision, dt),
+            deposit=np.asarray(state.deposit, dt),
+            cellx=np.asarray(state.cellx, np.int32),
+            celly=np.asarray(state.celly, np.int32),
+            dead=np.asarray(state.dead, bool),
+            pid=np.asarray(state.pid, np.uint32),
+            counter=np.asarray(state.counter, np.uint32))
+        owner = self._restore_owner(host)
+        cap = _cap_for(owner, np.asarray(host.dead), self.nshards, self.cap)
+        packed = _partition_by_owner(host, owner, self.nshards, cap)
+        self.cap = cap
+        self.cap_xfer = max(cap // 8, 1024)
+        spec = self._shard_spec()
+        self.state = jax.tree_util.tree_map(
+            lambda a: jax.device_put(jnp.asarray(a), spec), packed)
+        self._set_tally(jnp.asarray(np.asarray(tally),
+                                    jnp.dtype(self.cfg.tally_dtype)))
+        self.elapsed_sim_time = t
+        return step
+
+    def _set_tally(self, tally) -> None:
+        slabs = self._tally_slabs(np.asarray(tally))
+        self.tally_parts = jax.device_put(
+            jnp.asarray(slabs, jnp.dtype(self.cfg.tally_dtype)),
+            NamedSharding(self.device_mesh, self._tally_pspec()))
+
+    def _tally_pspec(self):
+        return P(self.axis, None)
+
 
 # ---------------------------------------------------------------------------
 # 2D (x, y) decomposition
@@ -540,3 +601,21 @@ class Spatial2DSimulation(SpatialSimulation):
         grid2d = blocks.transpose(0, 2, 1, 3).reshape(
             self.py * self.rows, self.px * self.cols)
         return jnp.asarray(grid2d.reshape(-1))
+
+    # -- checkpoint/restore overrides (inherit restore(); these supply the
+    # 2D owner map, sharding spec and the block scatter of the tally) ----
+    def _restore_owner(self, host: ParticleState) -> np.ndarray:
+        return self._owner_of(host)
+
+    def _shard_spec(self):
+        return NamedSharding(self.device_mesh, P(self.axes))
+
+    def _tally_slabs(self, tally: np.ndarray) -> np.ndarray:
+        grid2d = np.asarray(tally).reshape(self.py * self.rows,
+                                           self.px * self.cols)
+        blocks = grid2d.reshape(self.py, self.rows, self.px, self.cols)
+        return blocks.transpose(0, 2, 1, 3).reshape(
+            self.nshards, self.rows * self.cols)
+
+    def _tally_pspec(self):
+        return P(self.axes, None)

@@ -230,6 +230,30 @@ def test_flight_f32_within_tolerance_of_f64():
     assert abs(t_f.sum() - t_x.sum()) / abs(t_x.sum()) < 1e-3
 
 
+@pytest.mark.slow
+def test_flight_fused_interpret_matches_xla(monkeypatch):
+    """Mosaic fused flight kernel (interpret mode) == XLA flight loop.
+
+    Tiny segment/pair budgets force the partial ring-extraction path
+    (the production regime where pending rings exceed one raster batch).
+    """
+    from neutral_tpu import driver as driver_mod
+    monkeypatch.setattr(driver_mod, "_LANE_PAD", 128)
+    cfg = make_cfg("split", n=120, nx=32, iters=1, dtype="float32")
+    cfg = cfg.with_(dt=2e-8)  # short census: interpret mode is slow
+    t_x, s_x = _run(cfg, "flight")  # CPU backend -> XLA flight loop
+    sim = Simulation(cfg.with_(engine="flight"), quiet=True)
+    sim.flight_seg_cap = 64
+    sim.flight_pair_cap = 512
+    stats = []
+    for tt in range(1, cfg.niters + 1):
+        m = sim._step_flight_fused(tt, interpret=True)
+        stats.append((m.nfacets, m.ncollisions, m.nprocessed))
+    t_f = np.asarray(sim.tally, np.float64)
+    assert stats == s_x
+    np.testing.assert_allclose(t_f.sum(), t_x.sum(), rtol=1e-5)
+
+
 def test_flight_tiny_buffers_stall_and_recover():
     cfg = make_cfg("stream", n=300, iters=1)
     t_big, s_big = _run(cfg, "flight")

@@ -236,3 +236,55 @@ def test_spatial2d_rejects_bad_grid():
                     dtype="float64", tally_dtype="float64")
     with pytest.raises(ValueError, match="divide"):
         Spatial2DSimulation(cfg, quiet=True, grid=(3, 2))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("decomp", ["spatial", "spatial2d"])
+def test_spatial_checkpoint_restore_roundtrip(tmp_path, decomp):
+    """Mid-run checkpoint from a single-device sim restores into the
+    spatial decompositions (owner repartition) and finishes identically."""
+    from neutral_tpu.parallel import Spatial2DSimulation
+    cls = SpatialSimulation if decomp == "spatial" else Spatial2DSimulation
+    cfg = SimConfig(nx=64, ny=64, dt=2e-7, niters=3, nparticles=1200,
+                    initial_energy=1.0e4,
+                    source=SourceBox(0.1, 0.1, 0.4, 0.4),
+                    problems=(ProblemRegion(1.0e2, 0.0, 0.0, 1.0, 1.0),
+                              ProblemRegion(1.0e4, 0.4, 0.4, 0.2, 0.2)),
+                    dtype="float64", tally_dtype="float64")
+    # uninterrupted reference on the spatial sim itself
+    ref = cls(cfg, quiet=True)
+    stats = []
+    for tt in range(1, 4):
+        m = ref.step(tt)
+        stats.append((m.nfacets, m.ncollisions))
+
+    # single-device run for 1 step -> checkpoint -> restore into spatial
+    single = Simulation(cfg, quiet=True)
+    m1 = single.step(1)
+    path = str(tmp_path / f"ck_{decomp}.npz")
+    single.checkpoint(path, 1)
+    spat = cls(cfg, quiet=True)
+    assert spat.restore(path) == 1
+    out = [(m1.nfacets, m1.ncollisions)]
+    for tt in range(2, 4):
+        m = spat.step(tt)
+        out.append((m.nfacets, m.ncollisions))
+    assert out == stats
+    np.testing.assert_allclose(
+        np.asarray(ref.tally, np.float64).reshape(-1),
+        np.asarray(spat.tally, np.float64).reshape(-1),
+        rtol=1e-12, atol=1e-300)
+
+    # and the reverse: checkpoint FROM spatial, restore into single-device
+    path2 = str(tmp_path / f"ck_back_{decomp}.npz")
+    spat2 = cls(cfg, quiet=True)
+    spat2.step(1)
+    spat2.checkpoint(path2, 1)
+    single2 = Simulation(cfg, quiet=True)
+    assert single2.restore(path2) == 1
+    for tt in range(2, 4):
+        single2.step(tt)
+    np.testing.assert_allclose(
+        np.asarray(ref.tally, np.float64).reshape(-1),
+        np.asarray(single2.tally, np.float64),
+        rtol=1e-12, atol=1e-300)
