@@ -150,9 +150,6 @@ class SpatialSimulation(driver_mod.SimulationBase):
     def __init__(self, cfg: SimConfig, *, dtype=None,
                  events_per_sweep: int | None = None,
                  device_mesh: Mesh | None = None, quiet: bool = False):
-        if not cfg.fast_math:
-            raise ValueError("spatial decomposition requires fast_math "
-                             "(analytic region density)")
         super().__init__(cfg, dtype=dtype, events_per_sweep=events_per_sweep,
                          quiet=quiet)
         self.device_mesh = device_mesh or make_device_mesh()
@@ -192,30 +189,66 @@ class SpatialSimulation(driver_mod.SimulationBase):
             jnp.zeros((nshards, self.rows * cfg.nx),
                       dtype=jnp.dtype(cfg.tally_dtype)),
             NamedSharding(self.device_mesh, P(self.axis, None)))
+        self._init_density_parts()
+
+    def _init_density_parts(self) -> None:
+        """Shard the density grid alongside the tally slabs.
+
+        Arbitrary decks (no analytic regions: user cs tables / density
+        grids) run decomposed with each shard owning ITS slab's density
+        rows — no halo exchange at all, since migration guarantees every
+        live lane sits on its owner shard (the TPU answer to arch's
+        density halo, main.c:70-71).  fast_math decks evaluate density
+        analytically and carry a 1-element placeholder.
+        """
+        if self.cfg.fast_math:
+            slabs = np.zeros((self.nshards, 1), np.dtype(self.dtype))
+        else:
+            slabs = self._density_slabs(np.asarray(self.mesh.density))
+        self.density_parts = jax.device_put(
+            jnp.asarray(slabs), NamedSharding(self.device_mesh,
+                                              self._tally_pspec()))
+
+    def _density_slabs(self, dens: np.ndarray) -> np.ndarray:
+        return dens.reshape(self.nshards, self.rows * self.cfg.nx)
+
+    def _local_mesh(self, d_row):
+        """Shard-local Mesh2D: replicated edges + this shard's density."""
+        from ..mesh import Mesh2D
+        if self.cfg.fast_math:
+            return self.mesh
+        dens = d_row[0].reshape(self.geom.ny, self.geom.nx)
+        return Mesh2D(nx=self.geom.nx, ny=self.geom.ny,
+                      width=self.mesh.width, height=self.mesh.height,
+                      edgex=self.mesh.edgex, edgey=self.mesh.edgey,
+                      density=dens, uniform=self.mesh.uniform)
 
     # ------------------------------------------------------------------
     @partial(jax.jit, static_argnames=("self",))
-    def _begin(self, state, mk):
+    def _begin(self, state, dens_parts, mk):
         axis = self.axis
+        rows = self.rows
 
-        def shard_fn(s):
-            s = transport.begin_timestep(s, self.mesh, self.geom,
-                                         self.cs_scatter, self.cfg.dt, mk)
+        def shard_fn(s, d_row):
+            y_off = (lax.axis_index(axis) * rows).astype(jnp.int32)
+            s = transport.begin_timestep(s, self._local_mesh(d_row),
+                                         self.geom, self.cs_scatter,
+                                         self.cfg.dt, mk, y_off_dyn=y_off)
             nproc = lax.psum(jnp.count_nonzero(~s.dead).astype(jnp.uint32),
                              axis)
             return s, nproc
 
         fn = shard_map(shard_fn, mesh=self.device_mesh,
-                       in_specs=(_state_spec(axis),),
+                       in_specs=(_state_spec(axis), P(self.axis, None)),
                        out_specs=(_state_spec(axis), P()), check_vma=False)
-        return fn(state)
+        return fn(state, dens_parts)
 
     @partial(jax.jit, static_argnames=("self",))
-    def _chunk(self, state, tally_parts, mk):
+    def _chunk(self, state, tally_parts, dens_parts, mk):
         axis = self.axis
         rows = self.rows
 
-        def shard_fn(s, t_row):
+        def shard_fn(s, t_row, d_row):
             y_off = (lax.axis_index(axis) * rows).astype(jnp.int32)
             if self.use_pallas:
                 from ..pallas_sweep import (drain_rings, make_rings,
@@ -231,7 +264,8 @@ class SpatialSimulation(driver_mod.SimulationBase):
                 t, rc, rv, rn = drain_rings(t, rc, rv, rn)
             else:
                 s, t, c, nsweeps, _ = transport.sweep_chunk(
-                    s, t_row[0], EventCounts.zeros(), self.mesh,
+                    s, t_row[0], EventCounts.zeros(),
+                    self._local_mesh(d_row),
                     self.cs_scatter, self.cs_absorb, self.geom, mk,
                     1.0 / self.cfg.nparticles, self.chunk_sweeps,
                     events_per_sweep=self.events_per_sweep, y_off_dyn=y_off)
@@ -254,11 +288,11 @@ class SpatialSimulation(driver_mod.SimulationBase):
 
         fn = shard_map(
             shard_fn, mesh=self.device_mesh,
-            in_specs=(_state_spec(axis), P(axis, None)),
+            in_specs=(_state_spec(axis), P(axis, None), P(axis, None)),
             out_specs=(_state_spec(axis), P(axis, None), P(axis, None),
                        P(), P(), P()),
             check_vma=False)
-        return fn(state, tally_parts)
+        return fn(state, tally_parts, dens_parts)
 
     # ------------------------------------------------------------------
     def _repartition(self, cap: int) -> None:
@@ -282,12 +316,14 @@ class SpatialSimulation(driver_mod.SimulationBase):
     def step(self, tt: int):
         self.profile.start()
         mk = jnp.uint32(tt)
-        self.state, nprocessed = self._begin(self.state, mk)
+        self.state, nprocessed = self._begin(self.state,
+                                             self.density_parts, mk)
         nf = nc = nsweeps = 0
         grows = 0
         while True:
             (self.state, self.tally_parts, c_rows, done, work,
-             err) = self._chunk(self.state, self.tally_parts, mk)
+             err) = self._chunk(self.state, self.tally_parts,
+                                self.density_parts, mk)
             # The chunk's sweeps happened regardless of migration backlog:
             # bank its event counts BEFORE any recovery path.
             dnf, dnc = combine_count_rows(c_rows)
@@ -455,9 +491,6 @@ class Spatial2DSimulation(SpatialSimulation):
                  events_per_sweep: int | None = None,
                  device_mesh: Mesh | None = None, quiet: bool = False,
                  grid: tuple[int, int] | None = None):
-        if not cfg.fast_math:
-            raise ValueError("spatial decomposition requires fast_math "
-                             "(analytic region density)")
         driver_mod.SimulationBase.__init__(
             self, cfg, dtype=dtype, events_per_sweep=events_per_sweep,
             quiet=quiet)
@@ -504,6 +537,12 @@ class Spatial2DSimulation(SpatialSimulation):
             jnp.zeros((ndev, self.rows * self.cols),
                       dtype=jnp.dtype(cfg.tally_dtype)),
             NamedSharding(self.device_mesh, P(self.axes, None)))
+        self._init_density_parts()
+
+    def _density_slabs(self, dens: np.ndarray) -> np.ndarray:
+        blocks = dens.reshape(self.py, self.rows, self.px, self.cols)
+        return blocks.transpose(0, 2, 1, 3).reshape(
+            self.nshards, self.rows * self.cols)
 
     def _owner_of(self, state) -> np.ndarray:
         oy = np.clip(np.asarray(state.celly) // self.rows, 0, self.py - 1)
@@ -523,26 +562,32 @@ class Spatial2DSimulation(SpatialSimulation):
 
     # ------------------------------------------------------------------
     @partial(jax.jit, static_argnames=("self",))
-    def _begin(self, state, mk):
+    def _begin(self, state, dens_parts, mk):
         spec = _state_spec(self.axes)
+        rows, cols = self.rows, self.cols
 
-        def shard_fn(s):
-            s = transport.begin_timestep(s, self.mesh, self.geom,
-                                         self.cs_scatter, self.cfg.dt, mk)
+        def shard_fn(s, d_row):
+            y_off = (lax.axis_index("py") * rows).astype(jnp.int32)
+            x_off = (lax.axis_index("px") * cols).astype(jnp.int32)
+            s = transport.begin_timestep(s, self._local_mesh(d_row),
+                                         self.geom, self.cs_scatter,
+                                         self.cfg.dt, mk, y_off_dyn=y_off,
+                                         x_off_dyn=x_off)
             nproc = lax.psum(jnp.count_nonzero(~s.dead).astype(jnp.uint32),
                              self.axes)
             return s, nproc
 
-        fn = shard_map(shard_fn, mesh=self.device_mesh, in_specs=(spec,),
+        fn = shard_map(shard_fn, mesh=self.device_mesh,
+                       in_specs=(spec, P(self.axes, None)),
                        out_specs=(spec, P()), check_vma=False)
-        return fn(state)
+        return fn(state, dens_parts)
 
     @partial(jax.jit, static_argnames=("self",))
-    def _chunk(self, state, tally_parts, mk):
+    def _chunk(self, state, tally_parts, dens_parts, mk):
         rows, cols = self.rows, self.cols
         spec = _state_spec(self.axes)
 
-        def shard_fn(s, t_row):
+        def shard_fn(s, t_row, d_row):
             y_off = (lax.axis_index("py") * rows).astype(jnp.int32)
             x_off = (lax.axis_index("px") * cols).astype(jnp.int32)
             if self.use_pallas:
@@ -558,7 +603,8 @@ class Spatial2DSimulation(SpatialSimulation):
                 t, rc, rv, rn = drain_rings(t, rc, rv, rn)
             else:
                 s, t, c, nsweeps, _ = transport.sweep_chunk(
-                    s, t_row[0], EventCounts.zeros(), self.mesh,
+                    s, t_row[0], EventCounts.zeros(),
+                    self._local_mesh(d_row),
                     self.cs_scatter, self.cs_absorb, self.geom, mk,
                     1.0 / self.cfg.nparticles, self.chunk_sweeps,
                     events_per_sweep=self.events_per_sweep,
@@ -586,11 +632,11 @@ class Spatial2DSimulation(SpatialSimulation):
 
         fn = shard_map(
             shard_fn, mesh=self.device_mesh,
-            in_specs=(spec, P(self.axes, None)),
+            in_specs=(spec, P(self.axes, None), P(self.axes, None)),
             out_specs=(spec, P(self.axes, None), P(self.axes, None),
                        P(), P(), P()),
             check_vma=False)
-        return fn(state, tally_parts)
+        return fn(state, tally_parts, dens_parts)
 
     # ------------------------------------------------------------------
     @property

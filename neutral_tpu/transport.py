@@ -139,8 +139,15 @@ def _macroscopic(density, sig):
     return density * _INV_MOLAR * sig * BARNS
 
 
-def _density_of(state: ParticleState, mesh: Mesh2D, geom: Geometry):
-    """Per-particle material density: analytic region tests or grid gather."""
+def _density_of(state: ParticleState, mesh: Mesh2D, geom: Geometry,
+                lx=None, ly=None):
+    """Per-particle material density: analytic region tests or grid gather.
+
+    `lx`/`ly` override the local cell coordinates (spatial decomposition:
+    mesh.density is this shard's slab and the offsets are dynamic; the
+    caller guarantees out-of-slab lanes are masked, so the clip only
+    keeps the gather in bounds).
+    """
     if geom.regions is not None:
         dtype = state.dtype
         density = jnp.zeros_like(state.x)
@@ -149,8 +156,10 @@ def _density_of(state: ParticleState, mesh: Mesh2D, geom: Geometry):
                       (state.celly >= iy0) & (state.celly < iy1))
             density = jnp.where(inside, _c(d, dtype), density)
         return density
-    lx = state.cellx - geom.x_off
-    ly = state.celly - geom.y_off
+    if lx is None:
+        lx = state.cellx - geom.x_off
+    if ly is None:
+        ly = state.celly - geom.y_off
     flat_cell = jnp.clip(ly * geom.nx + lx, 0, geom.nx * geom.ny - 1)
     return mesh.density.reshape(-1)[flat_cell]
 
@@ -207,17 +216,23 @@ def _heating_response(energy, sig_a, sig_t):
 @partial(jax.jit, static_argnames=("geom",))
 def begin_timestep(state: ParticleState, mesh: Mesh2D, geom: Geometry,
                    scatter_tab: CrossSection, dt: float,
-                   master_key) -> ParticleState:
+                   master_key, y_off_dyn=None,
+                   x_off_dyn=None) -> ParticleState:
     """Per-timestep (re)initialisation.
 
     Resets the census clock and samples fresh mean-free-paths for every
     surviving particle — the reference does this at the top of every
     handle_particles call with draw counter 0 (omp3/neutral.c:127-131).
+    `y_off_dyn`/`x_off_dyn` localize the density gather for spatially
+    sharded density slabs (every live lane is on its owner shard at step
+    start — censused lanes never cross the slab boundary).
     """
     dtype = state.dtype
     live = ~state.dead
 
-    density = _density_of(state, mesh, geom)
+    lx = None if x_off_dyn is None else state.cellx - x_off_dyn
+    ly = None if y_off_dyn is None else state.celly - y_off_dyn
+    density = _density_of(state, mesh, geom, lx=lx, ly=ly)
     sig_s = scatter_tab.lookup(state.energy)
     mac_s = _macroscopic(density, sig_s)
 
@@ -368,7 +383,7 @@ def sweep_core(state: ParticleState, mesh, geom: Geometry,
         ly = state.celly - y_off_dyn
         live = live & (ly >= 0) & (ly < geom.ny)
     flat_cell = jnp.clip(ly * geom.nx + lx, 0, geom.nx * geom.ny - 1)
-    density = _density_of(state, mesh, geom)
+    density = _density_of(state, mesh, geom, lx=lx, ly=ly)
     sig_s = scatter_tab.lookup(state.energy)
     sig_a = absorb_tab.lookup(state.energy)
     sig_t = sig_s + sig_a

@@ -288,3 +288,47 @@ def test_spatial_checkpoint_restore_roundtrip(tmp_path, decomp):
         np.asarray(ref.tally, np.float64).reshape(-1),
         np.asarray(single2.tally, np.float64),
         rtol=1e-12, atol=1e-300)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("decomp", ["spatial", "spatial2d"])
+def test_spatial_arbitrary_deck_matches_single(decomp):
+    """Non-fast_math decks (no analytic regions: sharded density slabs +
+    gather-based cs tables) run decomposed and match the single device.
+
+    A custom NON-quartic cross-section table forces the searchsorted
+    table path — the 'user-supplied .cs file' scenario the reference
+    serves through read_cs_file (neutral_data.c:123-170).
+    """
+    import jax.numpy as jnp
+    from neutral_tpu.parallel import Spatial2DSimulation
+    from neutral_tpu.xs import CrossSection
+    cls = SpatialSimulation if decomp == "spatial" else Spatial2DSimulation
+    cfg = SimConfig(nx=64, ny=64, dt=2e-7, niters=2, nparticles=1200,
+                    initial_energy=1.0e4,
+                    source=SourceBox(0.1, 0.1, 0.4, 0.4),
+                    problems=(ProblemRegion(1.0e2, 0.0, 0.0, 1.0, 1.0),
+                              ProblemRegion(1.0e4, 0.4, 0.4, 0.2, 0.2)),
+                    dtype="float64", tally_dtype="float64",
+                    fast_math=False)
+
+    # linear (non-quartic) energy grid -> searchsorted lookup path
+    keys = np.linspace(1e-2, 1e8, 5000)
+    vals = 1.0e3 * (1.0 - np.arange(5000) / 5000.0) + 1.0
+    tab = CrossSection(jnp.asarray(keys), jnp.asarray(vals))
+    assert not tab.quartic and not tab.analytic
+
+    single = Simulation(cfg, quiet=True)
+    single.cs_scatter = single.cs_absorb = tab
+    spat = cls(cfg, quiet=True)
+    spat.cs_scatter = spat.cs_absorb = tab
+    assert not single.use_pallas and not spat.use_pallas
+    for tt in range(1, 3):
+        a = single.step(tt)
+        b = spat.step(tt)
+        assert (a.nfacets, a.ncollisions, a.nprocessed) == \
+            (b.nfacets, b.ncollisions, b.nprocessed)
+    np.testing.assert_allclose(
+        np.asarray(single.tally, np.float64),
+        np.asarray(spat.tally, np.float64).reshape(-1),
+        rtol=1e-12, atol=1e-300)
