@@ -230,28 +230,138 @@ def test_flight_f32_within_tolerance_of_f64():
     assert abs(t_f.sum() - t_x.sum()) / abs(t_x.sum()) < 1e-3
 
 
-@pytest.mark.slow
-def test_flight_fused_interpret_matches_xla(monkeypatch):
-    """Mosaic fused flight kernel (interpret mode) == XLA flight loop.
-
-    Tiny segment/pair budgets force the partial ring-extraction path
-    (the production regime where pending rings exceed one raster batch).
-    """
-    from neutral_tpu import driver as driver_mod
-    monkeypatch.setattr(driver_mod, "_LANE_PAD", 128)
-    cfg = make_cfg("split", n=120, nx=32, iters=1, dtype="float32")
-    cfg = cfg.with_(dt=2e-8)  # short census: interpret mode is slow
-    t_x, s_x = _run(cfg, "flight")  # CPU backend -> XLA flight loop
+def _fused_kernel_state(n=256, nx=32):
+    """Small mid-flight state + geometry for kernel unit tests."""
+    import jax.numpy as jnp
+    from neutral_tpu.driver import Simulation
+    from neutral_tpu.transport import begin_timestep
+    cfg = make_cfg("split", n=n, nx=nx, iters=1, dtype="float32")
     sim = Simulation(cfg.with_(engine="flight"), quiet=True)
-    sim.flight_seg_cap = 64
-    sim.flight_pair_cap = 512
-    stats = []
-    for tt in range(1, cfg.niters + 1):
-        m = sim._step_flight_fused(tt, interpret=True)
-        stats.append((m.nfacets, m.ncollisions, m.nprocessed))
-    t_f = np.asarray(sim.tally, np.float64)
-    assert stats == s_x
-    np.testing.assert_allclose(t_f.sum(), t_x.sum(), rtol=1e-5)
+    state = begin_timestep(sim.state, sim.mesh, sim.geom, sim.cs_scatter,
+                           cfg.dt, jnp.uint32(1))
+    state = jax.tree_util.tree_map(lambda a: a[:n], state)
+    return sim, state, cfg
+
+
+@pytest.mark.slow
+def test_pallas_flight_multi_interpret_matches_core(monkeypatch):
+    """One fused kernel call (interpret) == k XLA flight_core steps with
+    the same ring-insert logic, lane for lane."""
+    import jax.numpy as jnp
+    from neutral_tpu.flight import flight_core
+    from neutral_tpu.pallas_flight import (make_seg_ring,
+                                           pallas_flight_multi)
+    from neutral_tpu.pallas_sweep import make_rings
+
+    k_pieces, f_slots, s_slots = 4, 8, 4
+    sim, state, cfg = _fused_kernel_state()
+    mk = jnp.uint32(1)
+    inv = 1.0 / cfg.nparticles
+    tally = jnp.zeros(1, jnp.float32)
+
+    fring = make_rings(state.n, jnp.float32, ring_slots=f_slots)
+    sring = make_seg_ring(state.n, jnp.float32, s_slots=s_slots)
+    out_state, out_fring, out_sring, nfac, ncol = pallas_flight_multi(
+        state, fring, sring, sim.cs_scatter, sim.cs_absorb, sim.geom, mk,
+        inv, tally, k_pieces=k_pieces, interpret=True)
+
+    # XLA emulation with identical ring-insert logic
+    s = state
+    fc, fv, fn = make_rings(state.n, jnp.float32, ring_slots=f_slots)
+    (sf, sn) = make_seg_ring(state.n, jnp.float32, s_slots=s_slots)
+    sf = list(sf)
+    nfac_ref = jnp.zeros(state.n, jnp.uint32)
+    ncol_ref = jnp.zeros(state.n, jnp.int32)
+    for _ in range(k_pieces):
+        gate = (fn < f_slots - 1) & (sn < s_slots)
+        (s, f1, c1, v1, f2, c2, v2, emit, gx0, gy0, gx1, gy1, kk,
+         nf_lane, is_coll) = flight_core(s, sim.geom, sim.cs_scatter,
+                                         sim.cs_absorb, mk, inv,
+                                         jnp.float32, gate=gate)
+        for slot in range(f_slots):
+            hit = f1 & (fn == slot)
+            fc = fc.at[slot].set(jnp.where(hit, c1, fc[slot]))
+            fv = fv.at[slot].set(jnp.where(hit, v1, fv[slot]))
+        fn = fn + f1.astype(jnp.int32)
+        for slot in range(f_slots):
+            hit = f2 & (fn == slot)
+            fc = fc.at[slot].set(jnp.where(hit, c2, fc[slot]))
+            fv = fv.at[slot].set(jnp.where(hit, v2, fv[slot]))
+        fn = fn + f2.astype(jnp.int32)
+        segv = (gx0, gy0, gx1, gy1, kk)
+        for slot in range(s_slots):
+            hit = emit & (sn == slot)
+            for f in range(5):
+                sf[f] = sf[f].at[slot].set(
+                    jnp.where(hit, segv[f], sf[f][slot]))
+        sn = sn + emit.astype(jnp.int32)
+        nfac_ref = nfac_ref + nf_lane
+        ncol_ref = ncol_ref + is_coll.astype(jnp.int32)
+
+    # Interpret-mode pallas and jitted XLA round differently at the ulp
+    # level (fma fusion); decisions, draws and integer state must agree
+    # exactly, floats to ~1e-5.
+    for f in out_state.__dataclass_fields__:
+        a = np.asarray(getattr(out_state, f))
+        b = np.asarray(getattr(s, f))
+        if a.dtype.kind in "iub":
+            np.testing.assert_array_equal(a, b, err_msg=f)
+        else:
+            np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-30,
+                                       err_msg=f)
+    np.testing.assert_array_equal(np.asarray(out_fring[2]), np.asarray(fn))
+    np.testing.assert_array_equal(np.asarray(out_fring[0]), np.asarray(fc))
+    np.testing.assert_allclose(np.asarray(out_fring[1]), np.asarray(fv),
+                               rtol=2e-3, atol=1e-32)
+    np.testing.assert_array_equal(np.asarray(out_sring[1]), np.asarray(sn))
+    for f in range(5):
+        np.testing.assert_allclose(np.asarray(out_sring[0][f]),
+                                   np.asarray(sf[f]), rtol=2e-3,
+                                   atol=1e-32)
+    np.testing.assert_array_equal(np.asarray(nfac), np.asarray(nfac_ref))
+    np.testing.assert_array_equal(np.asarray(ncol), np.asarray(ncol_ref))
+
+
+def test_extract_segments_budget_gating():
+    """Partial ring extraction: lanes move all-or-nothing under row and
+    pair budgets; non-extracted lanes keep their ring state."""
+    import jax.numpy as jnp
+    from neutral_tpu.pallas_flight import extract_ring_segments
+
+    n, s_slots = 8, 3
+    rng = np.random.default_rng(0)
+    sf = tuple(jnp.asarray(rng.uniform(0, 256, (s_slots, n)), jnp.float32)
+               for _ in range(5))
+    sn = jnp.asarray([3, 0, 2, 3, 1, 3, 3, 2], jnp.int32)
+    scap = 7          # fits lanes 0 (3 rows), 2 (2), skips 3 (3 > room 2)
+    segbuf = jnp.zeros((scap, 8), jnp.float32)
+    zero = jnp.zeros((), jnp.int32)
+    segbuf, sbase, spairs, (sf2, sn2), left = extract_ring_segments(
+        sf, sn, segbuf, zero, zero, tile=128, pair_cap=1 << 20)
+    assert bool(left)
+    # prefix gating: lanes 0 (3 rows) + 1 (0) + 2 (2) fit; lane 3 (3 rows)
+    # would exceed scap=7, blocking it and everything after
+    assert int(sbase) == 5
+    taken = np.asarray(sn2) == 0
+    kept = ~taken
+    # ring counts of non-extracted lanes unchanged
+    np.testing.assert_array_equal(np.asarray(sn2)[kept],
+                                  np.asarray(sn)[kept])
+    # extracted rows carry the right field values, grouped per lane
+    rows = np.asarray(segbuf)[:int(sbase)]
+    want = []
+    total = 0
+    for lane in range(n):
+        cnt = int(np.asarray(sn)[lane])
+        if cnt and total + cnt <= scap:
+            for slot in range(cnt):
+                want.append([float(np.asarray(sf[f])[slot, lane])
+                             for f in range(5)])
+            total += cnt
+        elif cnt:
+            break
+    got = sorted(map(tuple, rows[:, :5].tolist()))
+    assert got == sorted(map(tuple, want))
 
 
 def test_flight_tiny_buffers_stall_and_recover():
