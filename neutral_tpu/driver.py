@@ -144,6 +144,9 @@ class StepMetrics:
     ncollisions: int
     nprocessed: int
     nsweeps: int
+    # Wall-clock phase breakdown of the step (sweep/drain/raster/compact
+    # dispatch+sync windows); keys vary by engine.
+    phases: dict = None
 
 
 class SimulationBase:
@@ -275,8 +278,16 @@ class SimulationBase:
         out(f"Final Wallclock {self.wallclock:.9f}s")
         out(f"Elapsed Simulation Time {self.elapsed_sim_time:.6f}s")
         # Reference parity: PRINT_PROFILING_RESULTS at end of run
-        # (main.c:159) — per-step wall-clock entries plus the total.
+        # (main.c:159) — per-step wall-clock entries plus the total,
+        # extended with the engine phase breakdown when available.
         out(self.profile.summary())
+        agg = {}
+        for sm in self.step_metrics:
+            for k, v in (sm.phases or {}).items():
+                agg[k] = agg.get(k, 0.0) + v
+        if agg:
+            out("PHASE BREAKDOWN (cumulative): "
+                + "  ".join(f"{k}={v:.3f}s" for k, v in agg.items()))
         return result
 
     # ------------------------------------------------------------------
@@ -537,6 +548,7 @@ class Simulation(SimulationBase):
         import os
         import time as _time
         dbg = bool(os.environ.get("NEUTRAL_TPU_DEBUG_PHASES"))
+        phases = {"sweep": 0.0, "drain": 0.0, "compact": 0.0}
         part, sel = full, None
         min_cap = self.compact_min
         while True:
@@ -562,6 +574,8 @@ class Simulation(SimulationBase):
                                       ny=cfg.ny,
                                       max_steps=cfg.nx + cfg.ny + 2)
             alive = bool(any_live)
+            phases["sweep"] += t1 - t0
+            phases["drain"] += _time.perf_counter() - t1
             if dbg:
                 jax.block_until_ready(rbuf if use_tpu_raster else rflat)
                 print(f"[flight] n={part.n} chunk={t1 - t0:.2f}s "
@@ -571,6 +585,7 @@ class Simulation(SimulationBase):
                 break
             cap = part.n
             if self.compact_enabled and cap > min_cap:
+                t2 = _time.perf_counter()
                 live = int(live_count(part))
                 target = max(min_cap, 1 << (max(live, 1) - 1).bit_length())
                 if target <= cap // 2:
@@ -579,6 +594,7 @@ class Simulation(SimulationBase):
                     else:
                         full = part
                     part, sel = select_working(full, target)
+                phases["compact"] += _time.perf_counter() - t2
         if sel is not None:
             full = merge_compacted(full, part, sel)
         else:
@@ -594,7 +610,7 @@ class Simulation(SimulationBase):
         nf, nc = counts.totals()
         m = StepMetrics(step=tt, step_time=step_time, nfacets=nf,
                         ncollisions=nc, nprocessed=int(nprocessed),
-                        nsweeps=int(nsweeps))
+                        nsweeps=int(nsweeps), phases=phases)
         self.step_metrics.append(m)
         return m
 
@@ -650,6 +666,7 @@ class Simulation(SimulationBase):
         import os
         import time as _time
         dbg = bool(os.environ.get("NEUTRAL_TPU_DEBUG_PHASES"))
+        phases = {"sweep": 0.0, "raster": 0.0, "compact": 0.0}
 
         part, sel = full, None
         min_cap = self.compact_min
@@ -671,6 +688,8 @@ class Simulation(SimulationBase):
             t1 = _time.perf_counter()
             nseg, npairs = int(sbase), int(spairs)
             rbuf = raster(rbuf, segbuf, nseg, npairs)
+            phases["sweep"] += t1 - t0
+            phases["raster"] += _time.perf_counter() - t1
             if dbg:
                 print(f"[flight-fused] n={part.n} chunk={t1 - t0:.2f}s "
                       f"sbase={nseg} spairs={npairs}", flush=True)
@@ -679,6 +698,7 @@ class Simulation(SimulationBase):
                 break
             cap = part.n
             if self.compact_enabled and cap > min_cap:
+                t2 = _time.perf_counter()
                 live = int(live_count(part))
                 target = max(min_cap, 1 << (max(live, 1) - 1).bit_length())
                 if target <= cap // 2:
@@ -703,6 +723,7 @@ class Simulation(SimulationBase):
                     fc, fv, fn = make_rings(target, tally_dt,
                                             ring_slots=8)
                     sfields, sn = make_seg_ring(target, self.dtype)
+                phases["compact"] += _time.perf_counter() - t2
         # final ring drains
         self.tally, fc, fv, fn = drain_rings(self.tally, fc, fv, fn)
         while True:
@@ -725,7 +746,7 @@ class Simulation(SimulationBase):
         nf, nc = counts.totals()
         m = StepMetrics(step=tt, step_time=step_time, nfacets=nf,
                         ncollisions=nc, nprocessed=int(nprocessed),
-                        nsweeps=int(nsweeps))
+                        nsweeps=int(nsweeps), phases=phases)
         self.step_metrics.append(m)
         return m
 
