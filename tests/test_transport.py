@@ -157,3 +157,31 @@ def test_all_particles_die_in_dense_scatter():
     _, stats, st = run_jax(cfg)
     assert bool(np.asarray(st.dead).all())
     assert stats[1] == dict(nf=0, nc=0, nproc=0)
+
+
+@pytest.mark.slow
+def test_f32_facet_count_parity_mixed_regime():
+    """f32 facet-event counts track f64 on a mixed facet/collision deck.
+
+    Round-1 residual: f32 inflated facet counts ~2x via mfp/census
+    rounding near cell edges (ROADMAP "Fidelity").  The cell-local
+    coordinate representation pins the ratio to ~0.97-0.98; this guards
+    against regressions (acceptance: within [0.9, 1.1]).
+    """
+    from neutral_tpu.driver import Simulation
+
+    def run(dtype):
+        cfg = SimConfig(nx=2000, ny=2000, dt=4e-7, niters=1,
+                        nparticles=1024, initial_energy=1.0e3,
+                        source=SourceBox(0.2, 0.2, 0.6, 0.6),
+                        problems=(ProblemRegion(3.0e2, 0, 0, 1, 1),),
+                        dtype=dtype, tally_dtype=dtype)
+        sim = Simulation(cfg, quiet=True)
+        m = sim.step(1)
+        return m.nfacets, m.ncollisions
+
+    nf64, nc64 = run("float64")
+    nf32, nc32 = run("float32")
+    assert nf64 > 200  # the probe must exercise the facet path
+    assert abs(nc32 - nc64) <= 0.01 * nc64
+    assert 0.9 <= nf32 / nf64 <= 1.1, (nf32, nf64)
