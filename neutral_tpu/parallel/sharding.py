@@ -210,16 +210,17 @@ def max_live_sharded(state: ParticleState, mesh_axes: Mesh):
     """Max over shards of the per-shard working-lane count.
 
     The compaction target must be one static size across the SPMD program,
-    so the ladder keys on the worst-loaded shard.
+    so the ladder keys on the worst-loaded shard.  Works on 1D and 2D
+    device meshes (reduces over every mesh axis).
     """
     from ..particles import live_count
 
-    axis = mesh_axes.axis_names[0]
+    axes = mesh_axes.axis_names
 
     def shard_fn(s):
-        return jax.lax.pmax(live_count(s).astype(jnp.int32), axis)
+        return jax.lax.pmax(live_count(s).astype(jnp.int32), axes)
 
-    fn = shard_map(shard_fn, mesh=mesh_axes, in_specs=(_state_spec(axis),),
+    fn = shard_map(shard_fn, mesh=mesh_axes, in_specs=(_state_spec(axes),),
                    out_specs=P(), check_vma=False)
     return fn(state)
 
@@ -235,11 +236,30 @@ def select_working_sharded(state: ParticleState, new_size: int,
     """
     from ..particles import select_working
 
-    axis = mesh_axes.axis_names[0]
-    pspec = _state_spec(axis)
+    axes = mesh_axes.axis_names
+    pspec = _state_spec(axes)
     fn = shard_map(lambda s: select_working(s, new_size), mesh=mesh_axes,
-                   in_specs=(pspec,), out_specs=(pspec, P(axis)),
+                   in_specs=(pspec,), out_specs=(pspec, P(axes)),
                    check_vma=False)
+    return fn(state)
+
+
+@partial(jax.jit, static_argnames=("new_size", "mesh_axes"))
+def select_working_padded_sharded(state: ParticleState, new_size: int,
+                                  mesh_axes: Mesh):
+    """Per-shard select_working_padded (arrival-safe free-slot mapping).
+
+    The spatial decompositions compact with this variant so particles
+    migrating into a compacted working set land in slots that map back to
+    real lanes of the full-capacity state (particles.select_working_padded).
+    """
+    from ..particles import select_working_padded
+
+    axes = mesh_axes.axis_names
+    pspec = _state_spec(axes)
+    fn = shard_map(lambda s: select_working_padded(s, new_size),
+                   mesh=mesh_axes, in_specs=(pspec,),
+                   out_specs=(pspec, P(axes)), check_vma=False)
     return fn(state)
 
 
@@ -249,10 +269,10 @@ def merge_compacted_sharded(full: ParticleState, part: ParticleState,
     """Per-shard merge of a compacted slice back into the full slabs."""
     from ..particles import merge_compacted
 
-    axis = mesh_axes.axis_names[0]
-    pspec = _state_spec(axis)
+    axes = mesh_axes.axis_names
+    pspec = _state_spec(axes)
     fn = shard_map(merge_compacted, mesh=mesh_axes,
-                   in_specs=(pspec, pspec, P(axis)),
+                   in_specs=(pspec, pspec, P(axes)),
                    out_specs=pspec, check_vma=False)
     return fn(full, part, sel)
 

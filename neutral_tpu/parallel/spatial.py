@@ -314,15 +314,23 @@ class SpatialSimulation(driver_mod.SimulationBase):
             lambda a: jax.device_put(jnp.asarray(a), shard_sharding), packed)
 
     def step(self, tt: int):
+        from .sharding import (max_live_sharded, merge_compacted_sharded,
+                               select_working_padded_sharded)
         self.profile.start()
         mk = jnp.uint32(tt)
         self.state, nprocessed = self._begin(self.state,
                                              self.density_parts, mk)
         nf = nc = nsweeps = 0
         grows = 0
+        # Per-shard live-lane compaction ladder (long-tail decks): the
+        # arrival-safe padded selection keeps free slots mapped to real
+        # full-capacity lanes so migration keeps working while compacted.
+        part, sel = self.state, None
+        full = part
+        min_cap = self.compact_min
         while True:
-            (self.state, self.tally_parts, c_rows, done, work,
-             err) = self._chunk(self.state, self.tally_parts,
+            (part, self.tally_parts, c_rows, done, work,
+             err) = self._chunk(part, self.tally_parts,
                                 self.density_parts, mk)
             # The chunk's sweeps happened regardless of migration backlog:
             # bank its event counts BEFORE any recovery path.
@@ -330,6 +338,8 @@ class SpatialSimulation(driver_mod.SimulationBase):
             nf += dnf
             nc += dnc
             nsweeps += int(done)
+            if sel is None:
+                full = part
             if int(err):
                 grows += 1
                 if grows > 6:
@@ -338,10 +348,37 @@ class SpatialSimulation(driver_mod.SimulationBase):
                         f"{grows - 1} capacity doublings — aborting")
                 self._print(f"migration overflow: growing shard capacity "
                             f"{self.cap} -> {2 * self.cap}, repartitioning")
+                if sel is not None:
+                    full = merge_compacted_sharded(full, part, sel,
+                                                   self.device_mesh)
+                self.state = full
                 self._repartition(2 * self.cap)
+                part, sel = self.state, None
+                full = part
                 continue
             if int(work) == 0:
                 break
+            per_shard = part.x.shape[0] // self.nshards
+            if self.compact_enabled and per_shard > min_cap:
+                live = int(max_live_sharded(part, self.device_mesh))
+                # 2x headroom over the worst shard keeps migration's
+                # free-slot supply healthy while compacted.
+                target = max(min_cap,
+                             2 << (max(live, 1) - 1).bit_length())
+                if target <= per_shard // 2:
+                    if sel is not None:
+                        full = merge_compacted_sharded(full, part, sel,
+                                                       self.device_mesh)
+                    else:
+                        full = part
+                    part, sel = select_working_padded_sharded(
+                        full, target, self.device_mesh)
+        if sel is not None:
+            full = merge_compacted_sharded(full, part, sel,
+                                           self.device_mesh)
+        else:
+            full = part
+        self.state = full
         jax.block_until_ready(self.tally_parts)
         step_time = self.profile.stop(f"step{tt}")
         m = driver_mod.StepMetrics(

@@ -99,6 +99,45 @@ def select_working(state: ParticleState, new_size: int):
     return part, sel
 
 
+@partial(jax.jit, static_argnames=("new_size",))
+def select_working_padded(state: ParticleState, new_size: int):
+    """select_working variant whose padding slots map to real dead lanes.
+
+    The spatial decompositions receive MIGRATED particles into free (dead)
+    slots while compacted; plain select_working pads with a sentinel that
+    merge_compacted drops, which would silently lose such arrivals.  Here
+    every part slot maps to a distinct full lane: working lanes first,
+    then dead lanes as the free pool — so merge_compacted writes arrivals
+    back losslessly.  Requires new_size >= working count (caller ensures
+    via the compaction target) and new_size <= n.
+    """
+    n = state.dead.shape[0]
+    working = (~state.dead) & (state.dt_to_census > 0)
+    nwork = jnp.count_nonzero(working).astype(jnp.int32)
+    ndead = jnp.count_nonzero(state.dead).astype(jnp.int32)
+    sel_work = jnp.nonzero(working, size=new_size, fill_value=n)[0]
+    sel_dead = jnp.nonzero(state.dead, size=new_size, fill_value=n)[0]
+    slot = jnp.arange(new_size, dtype=jnp.int32)
+    is_work = slot < nwork
+    # Free pool: real dead husks only (censused-but-alive lanes must stay
+    # intact in `full`).  Slots past the husk supply become INERT: neither
+    # working (dt=0) nor free (dead=False), and their sentinel index is
+    # dropped by merge_compacted.
+    fill_ok = (slot - nwork) < ndead
+    fill = sel_dead[jnp.clip(slot - nwork, 0, new_size - 1)]
+    sel = jnp.where(is_work, sel_work,
+                    jnp.where(fill_ok, fill, n)).astype(jnp.int32)
+    part = jax.tree_util.tree_map(
+        lambda a: a[jnp.minimum(sel, n - 1)], state)
+    inert = (~is_work) & (~fill_ok)
+    fields = {f: getattr(part, f) for f in part.__dataclass_fields__}
+    fields["dead"] = jnp.where(inert, False, part.dead)
+    fields["dt_to_census"] = jnp.where(inert,
+                                       jnp.zeros_like(part.dt_to_census),
+                                       part.dt_to_census)
+    return ParticleState(**fields), sel
+
+
 @jax.jit
 def merge_compacted(full: ParticleState, part: ParticleState,
                     sel_idx) -> ParticleState:

@@ -376,3 +376,48 @@ def test_flight_tiny_buffers_stall_and_recover():
     assert (m.nfacets, m.ncollisions, m.nprocessed) == s_big[0]
     np.testing.assert_allclose(t_small, t_big.reshape(t_small.shape),
                                rtol=1e-9, atol=1e-33)
+
+
+def test_select_working_padded_preserves_arrivals():
+    """Padded compaction: free slots map to dead husks; arrivals written
+    into them merge back losslessly; censused lanes stay intact."""
+    from neutral_tpu.particles import (ParticleState, merge_compacted,
+                                       select_working_padded)
+    n = 16
+    rng = np.random.default_rng(1)
+    f32 = jnp.float32
+    dead = jnp.asarray([0, 1, 0, 1, 1, 0, 0, 1, 1, 1, 0, 1, 1, 1, 1, 1],
+                       bool)
+    dt = jnp.asarray([1, 0, 0, 0, 0, 1, 1, 0, 0, 0, 1, 0, 0, 0, 0, 0],
+                     f32)  # lane 2 is censused-alive: must survive
+    state = ParticleState(
+        x=jnp.arange(n, dtype=f32), y=jnp.zeros(n, f32),
+        omega_x=jnp.ones(n, f32), omega_y=jnp.zeros(n, f32),
+        energy=jnp.ones(n, f32), weight=jnp.ones(n, f32),
+        dt_to_census=dt, mfp_to_collision=jnp.zeros(n, f32),
+        deposit=jnp.zeros(n, f32),
+        cellx=jnp.zeros(n, jnp.int32), celly=jnp.zeros(n, jnp.int32),
+        dead=dead, pid=jnp.arange(n, dtype=jnp.uint32),
+        counter=jnp.zeros(n, jnp.uint32))
+    part, sel = select_working_padded(state, 8)
+    work = np.flatnonzero(np.asarray(~dead & (dt > 0))).tolist()
+    sel_np = np.asarray(sel)
+    assert sel_np[:len(work)].tolist() == work
+    # remaining slots are dead husks (free) — never the censused lane 2
+    assert 2 not in sel_np[len(work):]
+    assert np.asarray(part.dead)[len(work):].all()
+    # simulate a migration arrival into a free slot, then merge
+    slot = len(work)
+    part2 = jax.tree_util.tree_map(lambda a: a, part)
+    fields = {f: getattr(part2, f) for f in part2.__dataclass_fields__}
+    fields["x"] = part2.x.at[slot].set(99.0)
+    fields["dead"] = part2.dead.at[slot].set(False)
+    fields["dt_to_census"] = part2.dt_to_census.at[slot].set(0.5)
+    part2 = ParticleState(**fields)
+    full = merge_compacted(state, part2, sel)
+    lane = int(sel_np[slot])
+    assert float(np.asarray(full.x)[lane]) == 99.0
+    assert not bool(np.asarray(full.dead)[lane])
+    # censused lane 2 untouched
+    assert float(np.asarray(full.x)[2]) == 2.0
+    assert not bool(np.asarray(full.dead)[2])
