@@ -675,13 +675,17 @@ class Simulation(SimulationBase):
         sbase = spairs = zero_i
         while True:
             t0 = _time.perf_counter()
-            max_calls = (32 if part.n > 262144 else 256)
+            # Small (compacted tail) widths amortize the while-loop's
+            # per-call bookkeeping over more fused pieces per kernel call.
+            big = part.n > 262144
+            max_calls = 32 if big else 128
+            k_pieces = 8 if big else 16
             (part, self.tally, counts, fc, fv, fn, sfields, sn, segbuf,
              sbase, spairs, done, any_live) = pallas_flight_chunk(
                 part, self.tally, counts, fc, fv, fn, sfields, sn, segbuf,
                 sbase, spairs, self.cs_scatter, self.cs_absorb, self.geom,
-                master_key, inv_ntotal, max_calls, tile=TILE,
-                pair_cap=PCAP, interpret=interpret)
+                master_key, inv_ntotal, max_calls, k_pieces=k_pieces,
+                tile=TILE, pair_cap=PCAP, interpret=interpret)
             nsweeps += int(done)
             if sel is None:
                 full = part

@@ -106,16 +106,17 @@ def disjoint_rects(regions: tuple, nx: int, ny: int) -> tuple:
 # uint64-safe reductions without x64
 # ---------------------------------------------------------------------------
 
-def u64_sum_u32(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+def u64_sum_u32(v: jnp.ndarray, width: int = 4096
+                ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(hi, lo) uint32 pair = sum of a uint32 vector, overflow-safe.
 
-    Valid when each element < 2^16 and len(v) < 2^31 (per-piece facet
-    counts are bounded by global_nx + global_ny + 1).  Two-level split:
-    row sums of 4096-wide tiles stay below 2^28; their 16-bit halves are
-    then summed separately and recombined with explicit carries.
+    Valid when width * max(v) < 2^31 and len(v)/width < 2^15 — e.g. the
+    default width 4096 covers elements < 2^19 (per-piece facet counts are
+    bounded by global_nx + global_ny + 1; multi-piece kernel calls pass a
+    smaller width).  Two-level split: bounded row sums, then their 16-bit
+    halves summed separately and recombined with explicit carries.
     """
     n = v.shape[0]
-    width = 4096
     pad = (-n) % width
     if pad:
         v = jnp.concatenate([v, jnp.zeros(pad, v.dtype)])

@@ -359,9 +359,12 @@ def pallas_flight_chunk(state: ParticleState, tally, counts: EventCounts,
         # host rasterizes the buffer and re-enters (they stay ring-gated).
         full = left
 
-        nf_hi, nf_lo = u64_sum_u32(nfac)
+        # width 2048: per-lane facet counts over k_pieces fused pieces can
+        # reach k * (global_nx + global_ny + 1); 2048 * that stays < 2^31
+        # for k <= 32 on meshes up to ~16k cells a side.
+        nf_hi, nf_lo = u64_sum_u32(nfac, width=2048)
         fh, fl = rng._add64(c.nfacets_hi, c.nfacets_lo, nf_hi, nf_lo)
-        nc_hi, nc_lo = u64_sum_u32(ncol.astype(jnp.uint32))
+        nc_hi, nc_lo = u64_sum_u32(ncol.astype(jnp.uint32), width=2048)
         ch, cl = rng._add64(c.ncollisions_hi, c.ncollisions_lo, nc_hi,
                             nc_lo)
         c = EventCounts(fh, fl, ch, cl)
