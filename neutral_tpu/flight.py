@@ -359,15 +359,12 @@ def _tree_select(mask, a, b):
         lambda u, v: jnp.where(mask, u, v), a, b)
 
 
-@partial(jax.jit, static_argnames=("geom", "inv_ntotal", "max_sweeps",
-                                   "tile", "pair_cap"),
-         donate_argnums=(0, 3, 4, 5))
-def flight_chunk(state: ParticleState, counts: EventCounts,
-                 scatter_tab: CrossSection, fbuf_cell, fbuf_val, segbuf,
-                 fcnt, scnt, spairs, absorb_tab: CrossSection,
-                 geom: Geometry, master_key, inv_ntotal: float,
-                 max_sweeps: int, tile: int = 128,
-                 pair_cap: int = 8 * 1024 * 1024):
+def flight_chunk_impl(state: ParticleState, counts: EventCounts,
+                      scatter_tab: CrossSection, fbuf_cell, fbuf_val,
+                      segbuf, fcnt, scnt, spairs,
+                      absorb_tab: CrossSection, geom: Geometry,
+                      master_key, inv_ntotal: float, max_sweeps: int,
+                      tile: int = 128, pair_cap: int = 8 * 1024 * 1024):
     """Run flight sweeps until buffers fill, max_sweeps, or no work left.
 
     Buffers (caller-owned, drained between chunks):
@@ -482,6 +479,22 @@ def flight_chunk(state: ParticleState, counts: EventCounts,
     any_live = jnp.any((~state.dead) & (state.dt_to_census > 0))
     return (state, counts, fbuf_cell, fbuf_val, segbuf, fcnt, scnt,
             spairs, nsweeps, any_live)
+
+
+@partial(jax.jit, static_argnames=("geom", "inv_ntotal", "max_sweeps",
+                                   "tile", "pair_cap"),
+         donate_argnums=(0, 3, 4, 5))
+def flight_chunk(state: ParticleState, counts: EventCounts,
+                 scatter_tab: CrossSection, fbuf_cell, fbuf_val, segbuf,
+                 fcnt, scnt, spairs, absorb_tab: CrossSection,
+                 geom: Geometry, master_key, inv_ntotal: float,
+                 max_sweeps: int, tile: int = 128,
+                 pair_cap: int = 8 * 1024 * 1024):
+    """Jitted single-device wrapper of flight_chunk_impl (see its doc)."""
+    return flight_chunk_impl(state, counts, scatter_tab, fbuf_cell,
+                             fbuf_val, segbuf, fcnt, scnt, spairs,
+                             absorb_tab, geom, master_key, inv_ntotal,
+                             max_sweeps, tile=tile, pair_cap=pair_cap)
 
 
 @jax.jit

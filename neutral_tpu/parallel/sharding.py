@@ -330,7 +330,11 @@ class ShardedSimulation(driver_mod.SimulationBase):
     Same run()/validate()/IO as driver.Simulation; state is sharded over
     the device mesh and tallies are per-shard partials.  The driver CLI
     auto-selects this class when more than one device is visible.
+    Facet-dominated decks route to the sharded free-flight engine
+    (parallel.flight_sharded) — zero-collective like the stepping path.
     """
+
+    supports_flight = True
 
     def __init__(self, cfg: SimConfig, *, dtype=None,
                  events_per_sweep: int | None = None,
@@ -357,7 +361,8 @@ class ShardedSimulation(driver_mod.SimulationBase):
             source_height=cfg.source.height * cfg.height,
             initial_energy=cfg.initial_energy, dt=cfg.dt,
             dtype=self.dtype, pad_to=total, rng_scheme=cfg.rng,
-            local_coords=driver_mod._local_coords(cfg, self.dtype))
+            local_coords=(None if self.use_flight else
+                          driver_mod._local_coords(cfg, self.dtype)))
 
         shard_sharding = NamedSharding(self.device_mesh, P(self.axis))
         self.state = jax.tree_util.tree_map(
@@ -381,6 +386,8 @@ class ShardedSimulation(driver_mod.SimulationBase):
 
     def step(self, tt: int):
         """Chunk-dispatched sharded census step; returns StepMetrics."""
+        if self.use_flight:
+            return self._step_flight_sharded(tt)
         self.profile.start()
         master_key = jnp.uint32(tt)
         self.state, nprocessed = begin_timestep_sharded(
@@ -455,6 +462,79 @@ class ShardedSimulation(driver_mod.SimulationBase):
         else:
             full = part
         self.state = full
+        jax.block_until_ready(self.tally_parts)
+        step_time = self.profile.stop(f"step{tt}")
+        m = driver_mod.StepMetrics(
+            step=tt, step_time=step_time, nfacets=nf, ncollisions=nc,
+            nprocessed=int(nprocessed), nsweeps=nsweeps)
+        self.step_metrics.append(m)
+        return m
+
+    def _step_flight_sharded(self, tt: int):
+        """Sharded free-flight census step (parallel.flight_sharded).
+
+        Per-shard buffers/rasters; chunk rounds end when ANY shard fills
+        a budget; no compaction ladder (the flight tail is short — pieces
+        per lane are few even on long-census decks).
+        """
+        from ..raster import TILE, grid_shape
+        from .flight_sharded import (drain_flushes_sharded,
+                                     flight_chunk_sharded,
+                                     merge_raster_sharded,
+                                     raster_drain_sharded)
+
+        cfg = self.cfg
+        self.profile.start()
+        mk = jnp.uint32(tt)
+        self.state, nprocessed = begin_timestep_sharded(
+            self.state, self.mesh2d, self.cs_scatter, self.geom, cfg.dt,
+            mk, self.device_mesh)
+        nshards = self.device_mesh.devices.size
+        nty, ntx = grid_shape(cfg.nx, cfg.ny, TILE)
+        use_pallas_raster = jax.default_backend() == "tpu"
+        FCAP = max(self.flight_flush_cap // nshards, 8192)
+        SCAP = max(self.flight_seg_cap // nshards, 4096)
+        PCAP = max(self.flight_pair_cap // nshards, 65536)
+        tdt = self.tally_parts.dtype
+        col = NamedSharding(self.device_mesh, P(self.axis))
+        row = NamedSharding(self.device_mesh, P(self.axis, None))
+        fcell = jax.device_put(jnp.zeros(nshards * FCAP, jnp.int32), col)
+        fval = jax.device_put(jnp.zeros(nshards * FCAP, tdt), col)
+        segbuf = jax.device_put(
+            jnp.zeros((nshards * SCAP, 8), self.dtype), row)
+        if use_pallas_raster:
+            rbufs = jax.device_put(
+                jnp.zeros((nshards, nty * TILE, ntx * TILE), jnp.float32),
+                NamedSharding(self.device_mesh, P(self.axis, None, None)))
+        else:
+            rbufs = jax.device_put(
+                jnp.zeros((nshards, cfg.nx * cfg.ny), tdt), row)
+        inv_ntotal = 1.0 / cfg.nparticles
+        nf = nc = nsweeps = 0
+        while True:
+            (self.state, fcell, fval, segbuf, c_rows, fcnt_rows,
+             scnt_rows, done, any_live) = flight_chunk_sharded(
+                self.state, fcell, fval, segbuf, self.cs_scatter,
+                self.cs_absorb, self.geom, mk, inv_ntotal,
+                self.device_mesh, self.chunk_sweeps, tile=TILE,
+                pair_cap=PCAP)
+            dnf, dnc = combine_count_rows(c_rows)
+            nf += dnf
+            nc += dnc
+            nsweeps += int(done)
+            self.tally_parts = drain_flushes_sharded(
+                self.tally_parts, fcell, fval, fcnt_rows,
+                self.device_mesh)
+            if int(jnp.max(scnt_rows)) > 0:
+                rbufs = raster_drain_sharded(
+                    rbufs, segbuf, scnt_rows, self.device_mesh, tile=TILE,
+                    ntx=ntx, nty=nty, pair_cap=PCAP, nx=cfg.nx, ny=cfg.ny,
+                    use_pallas_raster=use_pallas_raster)
+            if not bool(any_live):
+                break
+        self.tally_parts = merge_raster_sharded(
+            self.tally_parts, rbufs, self.device_mesh, nx=cfg.nx,
+            ny=cfg.ny, use_pallas_raster=use_pallas_raster)
         jax.block_until_ready(self.tally_parts)
         step_time = self.profile.stop(f"step{tt}")
         m = driver_mod.StepMetrics(

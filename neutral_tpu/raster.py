@@ -242,12 +242,9 @@ def _pair_fields(segbuf, seg_idx):
     return jnp.stack([gx0, gy0, ivx, ivy, kk, zero, zero, zero], axis=0)
 
 
-@partial(jax.jit, static_argnames=("tile", "ntx", "nty", "pair_cap",
-                                   "interpret"),
-         donate_argnums=(0,))
-def raster_drain(buf, segbuf, nseg, *, tile: int = TILE, ntx: int,
-                 nty: int, pair_cap: int, interpret: bool = False):
-    """Deposit `nseg` buffered segments into the (nty*tile, ntx*tile) buf."""
+def raster_drain_impl(buf, segbuf, nseg, *, tile: int = TILE, ntx: int,
+                      nty: int, pair_cap: int, interpret: bool = False):
+    """Unjitted raster drain (shard_map-composable); see raster_drain."""
     key, seg_idx, offsets = expand_pairs(segbuf, nseg, tile=tile, ntx=ntx,
                                          nty=nty, pair_cap=pair_cap)
     pair_data = _pair_fields(segbuf, seg_idx)
@@ -277,6 +274,17 @@ def raster_drain(buf, segbuf, nseg, *, tile: int = TILE, ntx: int,
             vmem_limit_bytes=100 * 1024 * 1024),
     )(offsets, pair_data, buf)
     return out
+
+
+@partial(jax.jit, static_argnames=("tile", "ntx", "nty", "pair_cap",
+                                   "interpret"),
+         donate_argnums=(0,))
+def raster_drain(buf, segbuf, nseg, *, tile: int = TILE, ntx: int,
+                 nty: int, pair_cap: int, interpret: bool = False):
+    """Deposit `nseg` buffered segments into the (nty*tile, ntx*tile) buf."""
+    return raster_drain_impl(buf, segbuf, nseg, tile=tile, ntx=ntx,
+                             nty=nty, pair_cap=pair_cap,
+                             interpret=interpret)
 
 
 # ---------------------------------------------------------------------------

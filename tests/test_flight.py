@@ -421,3 +421,25 @@ def test_select_working_padded_preserves_arrivals():
     # censused lane 2 untouched
     assert float(np.asarray(full.x)[2]) == 2.0
     assert not bool(np.asarray(full.dead)[2])
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_flight_sharded_matches_single_device():
+    """Sharded flight engine (8-way CPU mesh) == single-device flight:
+    identical event counts (pid-keyed RNG), tallies to rounding."""
+    from neutral_tpu.parallel import ShardedSimulation
+    for kind in ("stream", "csp"):
+        cfg = make_cfg(kind, n=600, iters=2).with_(engine="flight")
+        single = Simulation(cfg, quiet=True)
+        shard = ShardedSimulation(cfg, quiet=True)
+        assert shard.use_flight
+        for tt in range(1, cfg.niters + 1):
+            a = single.step(tt)
+            b = shard.step(tt)
+            assert (a.nfacets, a.ncollisions, a.nprocessed) == \
+                (b.nfacets, b.ncollisions, b.nprocessed), kind
+        np.testing.assert_allclose(
+            np.asarray(single.tally, np.float64),
+            np.asarray(shard.tally, np.float64),
+            rtol=1e-9, atol=1e-33)
