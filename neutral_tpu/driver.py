@@ -213,9 +213,9 @@ class SimulationBase:
                 raise ValueError("engine='flight' requires fast_math "
                                  "(analytic region geometry)")
             if self.use_flight and not self.supports_flight:
-                raise ValueError("engine='flight' is only available for "
-                                 "single-device runs (decomposition="
-                                 "replicated on one device)")
+                raise ValueError("engine='flight' supports the "
+                                 "single-device and replicated-sharded "
+                                 "drivers, not the spatial decompositions")
         # Flight pieces span many cells: positions must be global (the f32
         # cell-local trick applies only to the stepping engines).
         self.flight_seg_cap = 512 * 1024
@@ -648,7 +648,7 @@ class Simulation(SimulationBase):
         # Small-batch expansion tier: the raster's sort/cumsum machinery is
         # statically shaped by pair_cap, so draining a lightly-filled
         # buffer through the full-size expansion wastes ~1s.
-        PCAP_SMALL = max(PCAP // 8, 1 << 17)
+        PCAP_SMALL = max(PCAP // 4, 1 << 18)
         tally_dt = self.tally.dtype
 
         def raster(rb, sb, nseg, npairs):
@@ -689,8 +689,8 @@ class Simulation(SimulationBase):
             nsweeps += int(done)
             if sel is None:
                 full = part
-            t1 = _time.perf_counter()
             nseg, npairs = int(sbase), int(spairs)
+            t1 = _time.perf_counter()
             rbuf = raster(rbuf, segbuf, nseg, npairs)
             phases["sweep"] += t1 - t0
             phases["raster"] += _time.perf_counter() - t1
@@ -724,20 +724,27 @@ class Simulation(SimulationBase):
                     else:
                         full = part
                     part, sel = select_working(full, target)
+                    # Tail widths: deeper rings amortize the in-loop
+                    # drain cadence over more pieces (VMEM is plentiful
+                    # at these lane counts).
                     fc, fv, fn = make_rings(target, tally_dt,
-                                            ring_slots=8)
-                    sfields, sn = make_seg_ring(target, self.dtype)
+                                            ring_slots=32)
+                    sfields, sn = make_seg_ring(target, self.dtype,
+                                                s_slots=8)
                 phases["compact"] += _time.perf_counter() - t2
-        # final ring drains
+        # final ring drains (skipped when the rings emptied in-loop)
+        t3 = _time.perf_counter()
         self.tally, fc, fv, fn = drain_rings(self.tally, fc, fv, fn)
-        while True:
-            segbuf, sbase, spairs, (sfields, sn), left = \
-                extract_ring_segments(sfields, sn, segbuf, zero_i, zero_i,
-                                      tile=TILE, pair_cap=PCAP)
-            rbuf = raster(rbuf, segbuf, int(sbase), int(spairs))
-            sbase = spairs = zero_i
-            if not bool(left):
-                break
+        if int(jnp.sum(jnp.minimum(sn, sfields[0].shape[0]))) > 0:
+            while True:
+                segbuf, sbase, spairs, (sfields, sn), left = \
+                    extract_ring_segments(sfields, sn, segbuf, zero_i,
+                                          zero_i, tile=TILE, pair_cap=PCAP)
+                rbuf = raster(rbuf, segbuf, int(sbase), int(spairs))
+                sbase = spairs = zero_i
+                if not bool(left):
+                    break
+        phases["raster"] += _time.perf_counter() - t3
         if sel is not None:
             full = merge_compacted(full, part, sel)
         else:
