@@ -704,8 +704,12 @@ class Simulation(SimulationBase):
             if self.compact_enabled and cap > min_cap:
                 t2 = _time.perf_counter()
                 live = int(live_count(part))
+                if dbg:
+                    phases["compact_live"] = phases.get(
+                        "compact_live", 0.0) + _time.perf_counter() - t2
                 target = max(min_cap, 1 << (max(live, 1) - 1).bit_length())
                 if target <= cap // 2:
+                    ta = _time.perf_counter()
                     # Rings are lane-indexed: empty them before reordering.
                     self.tally, fc, fv, fn = drain_rings(self.tally, fc,
                                                          fv, fn)
@@ -719,6 +723,11 @@ class Simulation(SimulationBase):
                         sbase = spairs = zero_i
                         if not bool(left):
                             break
+                    if dbg:
+                        phases["compact_drain"] = phases.get(
+                            "compact_drain", 0.0) + (_time.perf_counter()
+                                                     - ta)
+                        ta = _time.perf_counter()
                     if sel is not None:
                         full = merge_compacted(full, part, sel)
                     else:
@@ -731,6 +740,11 @@ class Simulation(SimulationBase):
                                             ring_slots=32)
                     sfields, sn = make_seg_ring(target, self.dtype,
                                                 s_slots=8)
+                    if dbg:
+                        jax.tree_util.tree_map(lambda a: a, part)
+                        phases["compact_select"] = phases.get(
+                            "compact_select", 0.0) + (_time.perf_counter()
+                                                      - ta)
                 phases["compact"] += _time.perf_counter() - t2
         # final ring drains (skipped when the rings emptied in-loop)
         t3 = _time.perf_counter()

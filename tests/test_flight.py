@@ -443,3 +443,40 @@ def test_flight_sharded_matches_single_device():
             np.asarray(single.tally, np.float64),
             np.asarray(shard.tally, np.float64),
             rtol=1e-9, atol=1e-33)
+
+
+def test_flight_checkpoint_roundtrip(tmp_path):
+    """Flight engine checkpoints (global-coordinate convention) resume
+    bitwise-identically."""
+    cfg = make_cfg("csp", n=400, iters=3)
+    ref = Simulation(cfg.with_(engine="flight"), quiet=True)
+    stats = []
+    for tt in range(1, 4):
+        m = ref.step(tt)
+        stats.append((m.nfacets, m.ncollisions))
+
+    a = Simulation(cfg.with_(engine="flight"), quiet=True)
+    m1 = a.step(1)
+    path = str(tmp_path / "fl.npz")
+    a.checkpoint(path, 1)
+    b = Simulation(cfg.with_(engine="flight"), quiet=True)
+    assert b.restore(path) == 1
+    out = [(m1.nfacets, m1.ncollisions)]
+    for tt in range(2, 4):
+        m = b.step(tt)
+        out.append((m.nfacets, m.ncollisions))
+    assert out == stats
+    np.testing.assert_array_equal(np.asarray(b.tally), np.asarray(ref.tally))
+
+
+def test_flight_rejects_mismatched_coords(tmp_path):
+    """A stepping-engine (cell-local f32) checkpoint cannot silently load
+    into the flight engine's global-coordinate state."""
+    cfg = make_cfg("csp", n=400, iters=2, dtype="float32")
+    a = Simulation(cfg.with_(engine="xla"), quiet=True)
+    a.step(1)
+    path = str(tmp_path / "cl.npz")
+    a.checkpoint(path, 1)
+    b = Simulation(cfg.with_(engine="flight"), quiet=True)
+    with pytest.raises(ValueError, match="coord"):
+        b.restore(path)
