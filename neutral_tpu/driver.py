@@ -713,6 +713,12 @@ class Simulation(SimulationBase):
                     # Rings are lane-indexed: empty them before reordering.
                     self.tally, fc, fv, fn = drain_rings(self.tally, fc,
                                                          fv, fn)
+                    if dbg:
+                        np.asarray(jax.device_get(self.tally[:1]))
+                        phases["compact_ringdrain"] = phases.get(
+                            "compact_ringdrain", 0.0) + (
+                            _time.perf_counter() - ta)
+                        ta2 = _time.perf_counter()
                     while True:
                         (segbuf, sbase, spairs, (sfields, sn),
                          left) = extract_ring_segments(
@@ -723,6 +729,10 @@ class Simulation(SimulationBase):
                         sbase = spairs = zero_i
                         if not bool(left):
                             break
+                    if dbg:
+                        phases["compact_extract"] = phases.get(
+                            "compact_extract", 0.0) + (
+                            _time.perf_counter() - ta2)
                     if dbg:
                         phases["compact_drain"] = phases.get(
                             "compact_drain", 0.0) + (_time.perf_counter()
