@@ -220,7 +220,7 @@ class SimulationBase:
         # cell-local trick applies only to the stepping engines).
         self.flight_seg_cap = 512 * 1024
         self.flight_flush_cap = 4 * 1024 * 1024
-        self.flight_pair_cap = 8 * 1024 * 1024
+        self.flight_pair_cap = 16 * 1024 * 1024
         enable_compilation_cache()
 
         self.mesh: Mesh2D = build_mesh(cfg, dtype=self.dtype,
@@ -645,16 +645,16 @@ class Simulation(SimulationBase):
         nty, ntx = grid_shape(cfg.nx, cfg.ny, TILE)
         SCAP = self.flight_seg_cap
         PCAP = self.flight_pair_cap
-        # Small-batch expansion tier: the raster's sort/cumsum machinery is
+        # Tiered expansion: the raster's sort/cumsum machinery is
         # statically shaped by pair_cap, so draining a lightly-filled
         # buffer through the full-size expansion wastes ~1s.
-        PCAP_SMALL = max(PCAP // 4, 1 << 18)
+        TIERS = [1 << 20, 1 << 22, PCAP]
         tally_dt = self.tally.dtype
 
         def raster(rb, sb, nseg, npairs):
             if nseg == 0:
                 return rb
-            cap = PCAP_SMALL if npairs <= PCAP_SMALL else PCAP
+            cap = next(c for c in TIERS if npairs <= c)
             return raster_drain(rb, sb, jnp.int32(nseg), tile=TILE,
                                 ntx=ntx, nty=nty, pair_cap=cap,
                                 interpret=interpret)
