@@ -25,13 +25,13 @@ import sys
 import time
 
 # Reference omp3 (GCC -O3 -march=native, this machine's 1-core CPU) —
-# events/s measured in BASELINE.md.  split's rate was not captured there
-# (no golden ships for it); None = no baseline ratio reported.
+# events/s measured in BASELINE.md (split: 1.068e9 events in 110.76 s,
+# 2026-08-17).
 BASELINES = {
     "scatter": 5.17e6,
     "stream": 1.14e7,
     "csp": 1.35e7,
-    "split": None,
+    "split": 9.65e6,
 }
 
 # omp3's own csp tally on this machine (BASELINE.md): the acceptance
