@@ -331,8 +331,12 @@ def rasterize_xla(tally_flat, segbuf, nseg, *, nx: int, ny: int,
                        (ey - gy0) * ivy)
         return tx, ty
 
-    def body(carry, _):
-        tally, cx, cy, t_cur = carry
+    def cond(carry):
+        _, _, _, t_cur, it = carry
+        return jnp.any(valid & (t_cur < 1.0)) & (it < max_steps)
+
+    def body(carry):
+        tally, cx, cy, t_cur, it = carry
         tx, ty = t_next(cx, cy)
         tn = jnp.minimum(jnp.minimum(tx, ty), 1.0)
         frac = jnp.maximum(tn - t_cur, 0.0).astype(tally.dtype)
@@ -342,11 +346,13 @@ def rasterize_xla(tally_flat, segbuf, nseg, *, nx: int, ny: int,
         step_y = (~step_x) & (ty < 1.0)
         cx = cx + jnp.where(step_x, sx, 0)
         cy = cy + jnp.where(step_y, sy, 0)
-        return (tally, cx, cy, tn), None
+        return (tally, cx, cy, tn, it + 1)
 
-    (tally_flat, _, _, _), _ = lax.scan(
-        body, (tally_flat, cx, cy, jnp.zeros_like(gx0)), None,
-        length=max_steps)
+    # while_loop (not scan): the walk ends when every segment finishes,
+    # so short-segment batches don't pay the worst-case diagonal length.
+    (tally_flat, _, _, _, _) = lax.while_loop(
+        cond, body,
+        (tally_flat, cx, cy, jnp.zeros_like(gx0), jnp.zeros((), jnp.int32)))
     return tally_flat
 
 

@@ -63,9 +63,13 @@ def cmd_compare(args) -> int:
 
     jax.config.update("jax_enable_x64", True)
     cfg = load_config(args.deck).with_(dtype="float64",
-                                       tally_dtype="float64")
+                                       tally_dtype="float64",
+                                       engine=args.engine)
     if args.nparticles:
         cfg = cfg.with_(nparticles=args.nparticles)
+    if args.mesh_scale:
+        cfg = cfg.with_(nx=cfg.nx // args.mesh_scale,
+                        ny=cfg.ny // args.mesh_scale)
 
     nsim = native.NativeSimulation(cfg)
     nat_events = [nsim.step(tt) for tt in range(1, cfg.niters + 1)]
@@ -107,6 +111,12 @@ def main(argv=None) -> int:
     g = sub.add_parser("compare", help="native vs JAX engine agreement")
     g.add_argument("deck")
     g.add_argument("--nparticles", type=int, default=None)
+    g.add_argument("--engine", default="xla", choices=["xla", "flight"],
+                   help="JAX engine to compare (flight: the free-flight "
+                        "formulation — identical collision RNG streams, "
+                        "facet counts from analytic cell crossings)")
+    g.add_argument("--mesh-scale", type=int, default=None,
+                   help="divide nx/ny (keeps CPU comparisons quick)")
     g.set_defaults(fn=cmd_compare)
 
     args = p.parse_args(argv)
