@@ -719,16 +719,21 @@ class Simulation(SimulationBase):
                             "compact_ringdrain", 0.0) + (
                             _time.perf_counter() - ta)
                         ta2 = _time.perf_counter()
-                    while True:
-                        (segbuf, sbase, spairs, (sfields, sn),
-                         left) = extract_ring_segments(
-                            sfields, sn, segbuf, zero_i, zero_i,
-                            tile=TILE, pair_cap=PCAP)
-                        rbuf = raster(rbuf, segbuf, int(sbase),
-                                      int(spairs))
-                        sbase = spairs = zero_i
-                        if not bool(left):
-                            break
+                    # Lane-indexed rings must be empty before reordering;
+                    # skip the (statically full-width) extraction when
+                    # they already are.
+                    if int(jnp.sum(jnp.minimum(
+                            sn, sfields[0].shape[0]))) > 0:
+                        while True:
+                            (segbuf, sbase, spairs, (sfields, sn),
+                             left) = extract_ring_segments(
+                                sfields, sn, segbuf, zero_i, zero_i,
+                                tile=TILE, pair_cap=PCAP)
+                            rbuf = raster(rbuf, segbuf, int(sbase),
+                                          int(spairs))
+                            sbase = spairs = zero_i
+                            if not bool(left):
+                                break
                     if dbg:
                         phases["compact_extract"] = phases.get(
                             "compact_extract", 0.0) + (
