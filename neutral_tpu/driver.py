@@ -212,10 +212,13 @@ class SimulationBase:
             if self.use_flight and not cfg.fast_math:
                 raise ValueError("engine='flight' requires fast_math "
                                  "(analytic region geometry)")
-            if self.use_flight and not self.supports_flight:
-                raise ValueError("engine='flight' supports the "
-                                 "single-device and replicated-sharded "
-                                 "drivers, not the spatial decompositions")
+            if (self.use_flight and not is_f32
+                    and jax.default_backend() == "tpu"):
+                # Mirror the pallas check: the fused Mosaic flight kernel
+                # is float32-only and TPU f64 would otherwise die deep in
+                # lowering instead of with a clear error.
+                raise ValueError("engine='flight' on a TPU backend "
+                                 f"requires dtype float32 (got {self.dtype})")
         # Flight pieces span many cells: positions must be global (the f32
         # cell-local trick applies only to the stepping engines).
         self.flight_seg_cap = 512 * 1024
@@ -510,10 +513,11 @@ class Simulation(SimulationBase):
         """
         from .flight import drain_flushes, flight_chunk
         from .particles import live_count, merge_compacted, select_working
-        from .raster import TILE, grid_shape, raster_drain, rasterize_xla
+        from .raster import TILE, rasterize_xla
         from .transport import EventCounts, begin_timestep
 
-        if jax.default_backend() == "tpu":
+        if (jax.default_backend() == "tpu"
+                and self.dtype == jnp.dtype(jnp.float32)):
             return self._step_flight_fused(tt)
 
         cfg = self.cfg
@@ -530,16 +534,14 @@ class Simulation(SimulationBase):
         nsweeps = 0
         inv_ntotal = 1.0 / cfg.nparticles
 
-        nty, ntx = grid_shape(cfg.nx, cfg.ny, TILE)
-        use_tpu_raster = jax.default_backend() == "tpu"
         FCAP = self.flight_flush_cap
         SCAP = self.flight_seg_cap
         PCAP = self.flight_pair_cap
         tally_dt = self.tally.dtype
-        if use_tpu_raster:
-            rbuf = jnp.zeros((nty * TILE, ntx * TILE), jnp.float32)
-        else:
-            rflat = jnp.zeros(cfg.nx * cfg.ny, tally_dt)
+        # This method is the XLA flight path (CPU, or non-f32 debugging);
+        # the TPU f32 production path returned to _step_flight_fused above,
+        # so the raster here is always the DDA fallback.
+        rflat = jnp.zeros(cfg.nx * cfg.ny, tally_dt)
         fbuf_cell = jnp.zeros(FCAP, jnp.int32)
         fbuf_val = jnp.zeros(FCAP, tally_dt)
         segbuf = jnp.zeros((SCAP, 8), self.dtype)
@@ -566,18 +568,14 @@ class Simulation(SimulationBase):
             t1 = _time.perf_counter()
             self.tally = drain_flushes(self.tally, fbuf_cell, fbuf_val,
                                        fcnt)
-            if use_tpu_raster:
-                rbuf = raster_drain(rbuf, segbuf, scnt, tile=TILE,
-                                    ntx=ntx, nty=nty, pair_cap=PCAP)
-            else:
-                rflat = rasterize_xla(rflat, segbuf, scnt, nx=cfg.nx,
-                                      ny=cfg.ny,
-                                      max_steps=cfg.nx + cfg.ny + 2)
+            rflat = rasterize_xla(rflat, segbuf, scnt, nx=cfg.nx,
+                                  ny=cfg.ny,
+                                  max_steps=cfg.nx + cfg.ny + 2)
             alive = bool(any_live)
             phases["sweep"] += t1 - t0
             phases["drain"] += _time.perf_counter() - t1
             if dbg:
-                jax.block_until_ready(rbuf if use_tpu_raster else rflat)
+                jax.block_until_ready(rflat)
                 print(f"[flight] n={part.n} chunk={t1 - t0:.2f}s "
                       f"drain={_time.perf_counter() - t1:.2f}s "
                       f"scnt={int(scnt)} spairs={int(spairs)}", flush=True)
@@ -600,11 +598,7 @@ class Simulation(SimulationBase):
         else:
             full = part
         self.state = full
-        if use_tpu_raster:
-            self.tally = self.tally + rbuf[:cfg.ny, :cfg.nx].reshape(
-                -1).astype(tally_dt)
-        else:
-            self.tally = self.tally + rflat
+        self.tally = self.tally + rflat
         jax.block_until_ready(self.tally)
         step_time = self.profile.stop(f"step{tt}")
         nf, nc = counts.totals()

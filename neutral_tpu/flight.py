@@ -102,6 +102,29 @@ def disjoint_rects(regions: tuple, nx: int, ny: int) -> tuple:
     return tuple(out)
 
 
+def split_rects(rects: tuple, xcuts, ycuts) -> tuple:
+    """Split disjoint rects along global cell-index grid lines.
+
+    A spatial decomposition with shard boundaries at `xcuts`/`ycuts`
+    clamps every rect wall to the shard window (flight_core's windowed
+    mode), so its per-piece arithmetic equals a single-device run over
+    this pre-split partition — which makes the decomposed engine
+    bitwise-testable against the single-device engine (the same
+    physically-invisible-decomposition claim the stepping engine's
+    spatial tests pin).
+    """
+    out = []
+    for (ix0, ix1, iy0, iy1, d) in rects:
+        xs = [ix0] + [int(c) for c in sorted(set(xcuts))
+                      if ix0 < c < ix1] + [ix1]
+        ys = [iy0] + [int(c) for c in sorted(set(ycuts))
+                      if iy0 < c < iy1] + [iy1]
+        for j in range(len(ys) - 1):
+            for i in range(len(xs) - 1):
+                out.append((xs[i], xs[i + 1], ys[j], ys[j + 1], float(d)))
+    return tuple(out)
+
+
 # ---------------------------------------------------------------------------
 # uint64-safe reductions without x64
 # ---------------------------------------------------------------------------
@@ -135,7 +158,8 @@ def u64_sum_u32(v: jnp.ndarray, width: int = 4096
 
 def flight_core(state: ParticleState, geom: Geometry,
                 scatter_tab: CrossSection, absorb_tab: CrossSection,
-                master_key, inv_ntotal: float, tally_dtype, gate=None):
+                master_key, inv_ntotal: float, tally_dtype, gate=None,
+                x_off=None, y_off=None):
     """Advance every live lane through exactly ONE flight piece.
 
     Pure math, no tally scatter; the caller owns buffer appends and may
@@ -148,6 +172,18 @@ def flight_core(state: ParticleState, geom: Geometry,
     membership is decided once per piece by floor division, not by
     per-facet edge comparisons, so the f32 spurious-facet problem of the
     stepping engines does not arise either).
+
+    Spatial-decomposition mode: `x_off`/`y_off` (traced int32 scalars)
+    place this shard's window [x_off, x_off+geom.nx) x [y_off,
+    y_off+geom.ny) on the global mesh.  Rect walls clamp to the window
+    (a piece ends at the shard boundary exactly as it would at a rect
+    wall — the same closed-form math, reference facet semantics
+    omp3/neutral.c:303-380 with the cell edge generalized), lanes whose
+    cell lies outside the window freeze bitwise until migrated, and
+    flush cells / rasterizer segments are emitted in window-local
+    coordinates (the shard's private tally slab).  The equivalent
+    single-device geometry is split_rects over the shard grid lines:
+    identical wall integers => identical per-piece arithmetic.
 
     Returns (new_state, flush1, cell1, val1, flush2, cell2, val2,
              emit, seg(gx0, gy0, gx1, gy1, kk), nf_lane_u32, is_coll):
@@ -163,7 +199,16 @@ def flight_core(state: ParticleState, geom: Geometry,
                          "disjoint rects")
     dtype = state.dtype
     zero = _c(0.0, dtype)
+    win_x = x_off is not None
+    win_y = y_off is not None
+    i32 = jnp.int32
+    xo = i32(geom.x_off) if not win_x else x_off.astype(i32)
+    yo = i32(geom.y_off) if not win_y else y_off.astype(i32)
     live = (~state.dead) & (state.dt_to_census > zero)
+    if win_x:
+        live = live & (state.cellx >= xo) & (state.cellx < xo + geom.nx)
+    if win_y:
+        live = live & (state.celly >= yo) & (state.celly < yo + geom.ny)
     if gate is not None:
         # Paused lanes (full rings / exhausted buffers) freeze bitwise,
         # exactly like the Mosaic ring engine's pause semantics.
@@ -189,6 +234,13 @@ def flight_core(state: ParticleState, geom: Geometry,
         rix1 = jnp.where(inside, i32(ix1), rix1)
         riy0 = jnp.where(inside, i32(iy0), riy0)
         riy1 = jnp.where(inside, i32(iy1), riy1)
+    if win_x:
+        # Shard walls behave exactly like rect walls (split_rects parity).
+        rix0 = jnp.maximum(rix0, xo)
+        rix1 = jnp.minimum(rix1, xo + geom.nx)
+    if win_y:
+        riy0 = jnp.maximum(riy0, yo)
+        riy1 = jnp.minimum(riy1, yo + geom.ny)
 
     # ---- material state (same formulas as sweep_core) ---------------------
     sig_s = scatter_tab.lookup(state.energy)
@@ -310,8 +362,7 @@ def flight_core(state: ParticleState, geom: Geometry,
     acc1 = state.deposit + jnp.where(
         live, K * jnp.where(crossed, d_head_eff, d), zero)
     flush1 = crossed
-    cell1 = ((state.celly - geom.y_off) * geom.nx
-             + (state.cellx - geom.x_off))
+    cell1 = (state.celly - yo) * geom.nx + (state.cellx - xo)
     val1 = (jnp.where(flush1, acc1, zero).astype(tally_dtype)
             * _c(inv_ntotal, tally_dtype))
 
@@ -326,16 +377,26 @@ def flight_core(state: ParticleState, geom: Geometry,
     omega_y = jnp.where(refl_y, -omega_y, omega_y)
 
     flush2 = live & (died | is_census)
-    cell2 = (cy1 - geom.y_off) * geom.nx + (cx1 - geom.x_off)
+    cell2 = (cy1 - yo) * geom.nx + (cx1 - xo)
     val2 = (jnp.where(flush2, acc2, zero).astype(tally_dtype)
             * _c(inv_ntotal, tally_dtype))
     deposit = jnp.where(flush2, zero, jnp.where(live, acc2, state.deposit))
 
-    # ---- interior segment for the rasterizer (CELL units) ------------------
+    # ---- interior segment for the rasterizer (CELL units; window-local
+    # in spatial mode — the integer shift is exact, so a localized DDA
+    # walk reproduces the global walk's arithmetic bitwise) -----------------
     p0x = (state.x + d_head_eff * state.omega_x) * inv_dx
     p0y = (state.y + d_head_eff * state.omega_y) * inv_dy
     p1x = (state.x + d_in * state.omega_x) * inv_dx
     p1y = (state.y + d_in * state.omega_y) * inv_dy
+    if win_x:
+        xo_f = xo.astype(dtype)
+        p0x = p0x - xo_f
+        p1x = p1x - xo_f
+    if win_y:
+        yo_f = yo.astype(dtype)
+        p0y = p0y - yo_f
+        p1y = p1y - yo_f
     seg_len = jnp.maximum(d_in - d_head_eff, zero)
     kk = (K * seg_len).astype(tally_dtype) * _c(inv_ntotal, tally_dtype)
 
@@ -364,7 +425,8 @@ def flight_chunk_impl(state: ParticleState, counts: EventCounts,
                       segbuf, fcnt, scnt, spairs,
                       absorb_tab: CrossSection, geom: Geometry,
                       master_key, inv_ntotal: float, max_sweeps: int,
-                      tile: int = 128, pair_cap: int = 8 * 1024 * 1024):
+                      tile: int = 128, pair_cap: int = 8 * 1024 * 1024,
+                      x_off=None, y_off=None):
     """Run flight sweeps until buffers fill, max_sweeps, or no work left.
 
     Buffers (caller-owned, drained between chunks):
@@ -376,6 +438,10 @@ def flight_chunk_impl(state: ParticleState, counts: EventCounts,
     emission would blow a budget are vetoed for this sweep (kept bitwise
     intact — they simply retry after the drain).
 
+    `x_off`/`y_off` activate the spatial-decomposition window (see
+    flight_core): out-of-window lanes freeze and don't count as work —
+    the caller migrates them between chunks.
+
     Returns (state, counts, fbuf_cell, fbuf_val, segbuf, fcnt, scnt,
     spairs, nsweeps, any_live).
     """
@@ -385,7 +451,14 @@ def flight_chunk_impl(state: ParticleState, counts: EventCounts,
     inv_tile = 1.0 / tile
 
     def live_mask(s):
-        return (~s.dead) & (s.dt_to_census > 0)
+        w = (~s.dead) & (s.dt_to_census > 0)
+        if x_off is not None:
+            lx = s.cellx - x_off
+            w = w & (lx >= 0) & (lx < geom.nx)
+        if y_off is not None:
+            ly = s.celly - y_off
+            w = w & (ly >= 0) & (ly < geom.ny)
+        return w
 
     def cond(carry):
         s, _, _, _, _, fc, sc, sp, it, stalled = carry
@@ -396,7 +469,8 @@ def flight_chunk_impl(state: ParticleState, counts: EventCounts,
         (cand, f1, c1, v1, f2, c2, v2, emit, gx0, gy0, gx1, gy1, kk,
          nf_lane, is_coll) = flight_core(s, geom, scatter_tab, absorb_tab,
                                          master_key, inv_ntotal,
-                                         fbuf_val.dtype)
+                                         fbuf_val.dtype, x_off=x_off,
+                                         y_off=y_off)
         # (segment x tile) pair count for the drain budget
         tx0 = jnp.floor(gx0 * inv_tile).astype(jnp.int32)
         tx1 = jnp.floor(gx1 * inv_tile).astype(jnp.int32)
@@ -476,7 +550,9 @@ def flight_chunk_impl(state: ParticleState, counts: EventCounts,
              spairs, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
     (state, counts, fbuf_cell, fbuf_val, segbuf, fcnt, scnt, spairs,
      nsweeps, _) = lax.while_loop(cond, body, carry)
-    any_live = jnp.any((~state.dead) & (state.dt_to_census > 0))
+    # In windowed (spatial) mode this is "any workable lane on THIS
+    # shard"; frozen out-of-window lanes are the caller's migration work.
+    any_live = jnp.any(live_mask(state))
     return (state, counts, fbuf_cell, fbuf_val, segbuf, fcnt, scnt,
             spairs, nsweeps, any_live)
 

@@ -49,9 +49,14 @@ def build(force: bool = False) -> bool:
         cmd = ["make", "-C", _DIR] + (["-B"] if force else [])
         subprocess.run(cmd, check=True, capture_output=True, text=True)
         return os.path.exists(_LIB_PATH)
-    except (subprocess.CalledProcessError, FileNotFoundError):
+    except FileNotFoundError:
         # No toolchain: a prebuilt library is still usable if present.
         return os.path.exists(_LIB_PATH)
+    except subprocess.CalledProcessError as e:
+        # A COMPILE error must not fall back to a stale .so (it would
+        # silently run the old binary after an edit) — surface it.
+        raise RuntimeError(
+            f"native engine build failed:\n{e.stderr or e.stdout}") from e
 
 
 def _load():

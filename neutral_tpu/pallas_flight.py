@@ -57,7 +57,8 @@ def _block_rows(n: int) -> int:
 
 def _kernel(geom: Geometry, scatter_tab: CrossSection,
             absorb_tab: CrossSection, inv_ntotal: float, k_pieces: int,
-            f_slots: int, s_slots: int, tally_dtype, mk_ref, *refs):
+            f_slots: int, s_slots: int, tally_dtype, windowed, mk_ref,
+            *refs):
     in_refs = refs[:_NF]
     fc_in, fv_in, fn_in = refs[_NF:_NF + 3]
     sring_in = refs[_NF + 3:_NF + 3 + _SEGF]
@@ -72,6 +73,13 @@ def _kernel(geom: Geometry, scatter_tab: CrossSection,
     vals["dead"] = vals["dead"] != 0
     state = ParticleState(**vals)
     mk = mk_ref[0, 0]
+    if windowed:
+        # Spatial-decomposition window origin (flight_core clamps rect
+        # walls to it and freezes out-of-window lanes bitwise).
+        x_off = mk_ref[0, 1].astype(jnp.int32)
+        y_off = mk_ref[0, 2].astype(jnp.int32)
+    else:
+        x_off = y_off = None
 
     fc_rows = [fc_in[s] for s in range(f_slots)]
     fv_rows = [fv_in[s] for s in range(f_slots)]
@@ -88,7 +96,8 @@ def _kernel(geom: Geometry, scatter_tab: CrossSection,
         (state, f1, c1, v1, f2, c2, v2, emit, gx0, gy0, gx1, gy1, kk,
          nf_lane, is_coll) = flight_core(state, geom, scatter_tab,
                                          absorb_tab, mk, inv_ntotal,
-                                         tally_dtype, gate=gate)
+                                         tally_dtype, gate=gate,
+                                         x_off=x_off, y_off=y_off)
         for s in range(f_slots):
             hit = f1 & (fslot == s)
             fc_rows[s] = jnp.where(hit, c1, fc_rows[s])
@@ -129,16 +138,20 @@ def pallas_flight_multi(state: ParticleState, fring, sring,
                         scatter_tab: CrossSection,
                         absorb_tab: CrossSection, geom: Geometry,
                         master_key, inv_ntotal: float, tally_dtype_arr,
-                        k_pieces: int = 8, interpret: bool = False):
+                        k_pieces: int = 8, interpret: bool = False,
+                        x_off=None, y_off=None):
     """Advance every lane through k_pieces flight pieces in one kernel.
 
     fring = (cells (Sf,N) i32, vals (Sf,N), count (N,) i32) — pending
     tally flushes, drained with pallas_sweep._drain_rings.
     sring = (5 x (Ss,N) f32 fields, count (N,) i32) — pending segments.
+    `x_off`/`y_off` (traced int32 scalars) enable the spatial window
+    (see flight_core) — shipped to the kernel through the SMEM scalar row.
     Returns (state', fring', sring', nfacets (hi,lo), ncollisions_u32).
     """
     if geom.rects is None or not geom.dx:
         raise ValueError("pallas flight requires fast_math rect geometry")
+    windowed = x_off is not None or y_off is not None
     n = state.x.shape[0]
     rows = _block_rows(n)
     grid = n // rows // _LANES
@@ -194,9 +207,18 @@ def pallas_flight_multi(state: ParticleState, fring, sring,
     n_io = _NF + 4 + _SEGF
     aliases = {i + 1: i for i in range(n_io)}
 
+    mk = jnp.asarray(master_key, jnp.uint32).reshape(1, 1)
+    if windowed:
+        xo = (jnp.zeros((), jnp.uint32) if x_off is None
+              else x_off.astype(jnp.uint32))
+        yo = (jnp.zeros((), jnp.uint32) if y_off is None
+              else y_off.astype(jnp.uint32))
+        mk = jnp.concatenate(
+            [mk, xo.reshape(1, 1), yo.reshape(1, 1)], axis=1)
+
     out = pl.pallas_call(
         partial(_kernel, geom, scatter_tab, absorb_tab, inv_ntotal,
-                k_pieces, f_slots, s_slots, tally_dtype),
+                k_pieces, f_slots, s_slots, tally_dtype, windowed),
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [state_spec] * _NF + [fring_spec, fring_spec, state_spec]
@@ -210,7 +232,7 @@ def pallas_flight_multi(state: ParticleState, fring, sring,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(jnp.asarray(master_key, jnp.uint32).reshape(1, 1), *ins)
+    )(mk, *ins)
 
     new_vals = {}
     for f, arr in zip(_FIELDS, out[:_NF]):

@@ -76,8 +76,14 @@ def flight_chunk_sharded(state: ParticleState, fbuf_cell, fbuf_val,
 @partial(jax.jit, static_argnames=("mesh_axes",), donate_argnums=(0,))
 def drain_flushes_sharded(tally_parts, fbuf_cell, fbuf_val, fcnt_rows,
                           mesh_axes: Mesh):
-    """Scatter each shard's buffered flush entries into its tally row."""
-    axis = mesh_axes.axis_names[0]
+    """Scatter each shard's buffered flush entries into its tally row.
+
+    Works on 1D and 2D device meshes (the leading dim of every operand is
+    sharded jointly over all mesh axes) — the spatial decompositions'
+    flight path shares this drain with the replicated-mesh path.
+    """
+    axis = mesh_axes.axis_names
+    axis = axis[0] if len(axis) == 1 else axis
 
     def shard_fn(t_row, fc, fv, cnt):
         t = t_row[0]
@@ -107,8 +113,11 @@ def raster_drain_sharded(rbufs, segbuf, scnt_rows, mesh_axes: Mesh, *,
 
     rbufs: (nshards, nty*tile, ntx*tile) f32 on the Mosaic path, or
     (nshards, nx*ny) tally-dtype flats on the XLA DDA fallback (CPU).
+    In spatial mode the buffers cover each shard's BLOCK (nx/ny/ntx/nty
+    are block extents and segments are window-local).
     """
-    axis = mesh_axes.axis_names[0]
+    axis = mesh_axes.axis_names
+    axis = axis[0] if len(axis) == 1 else axis
 
     def shard_fn(rb, sb, cnt):
         if use_pallas_raster:
@@ -136,7 +145,8 @@ def raster_drain_sharded(rbufs, segbuf, scnt_rows, mesh_axes: Mesh, *,
 def merge_raster_sharded(tally_parts, rbufs, mesh_axes: Mesh, *, nx: int,
                          ny: int, use_pallas_raster: bool):
     """Fold each shard's raster buffer into its private tally row."""
-    axis = mesh_axes.axis_names[0]
+    axis = mesh_axes.axis_names
+    axis = axis[0] if len(axis) == 1 else axis
 
     def shard_fn(t_row, rb):
         if use_pallas_raster:

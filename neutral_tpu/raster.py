@@ -340,7 +340,12 @@ def rasterize_xla(tally_flat, segbuf, nseg, *, nx: int, ny: int,
         tx, ty = t_next(cx, cy)
         tn = jnp.minimum(jnp.minimum(tx, ty), 1.0)
         frac = jnp.maximum(tn - t_cur, 0.0).astype(tally.dtype)
-        idx = jnp.where(valid & (t_cur < 1.0), cy * nx + cx, nx * ny)
+        # An edge crossing that rounds to just below t=1.0 can step cx/cy
+        # one past the grid; cy*nx+cx would then wrap into the next row.
+        # Route those float-noise fractions to the sentinel instead —
+        # the clipped-overlap semantics of the Mosaic kernel and oracle.
+        inb = (cx >= 0) & (cx < nx) & (cy >= 0) & (cy < ny)
+        idx = jnp.where(valid & inb & (t_cur < 1.0), cy * nx + cx, nx * ny)
         tally = tally.at[idx].add(kk * frac, mode="drop")
         step_x = (tx <= ty) & (tx < 1.0)
         step_y = (~step_x) & (ty < 1.0)
