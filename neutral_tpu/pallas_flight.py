@@ -311,24 +311,25 @@ def extract_ring_segments(sfields, sn, segbuf, sbase, spairs,
                              pair_cap)
 
 
-@partial(jax.jit, static_argnames=("geom", "inv_ntotal", "max_calls",
-                                   "k_pieces", "tile", "pair_cap",
-                                   "interpret"),
-         donate_argnums=(0, 1, 3, 4, 5, 6, 7, 8))
-def pallas_flight_chunk(state: ParticleState, tally, counts: EventCounts,
-                        fc, fv, fn, sfields, sn, segbuf, sbase, spairs,
-                        scatter_tab: CrossSection,
-                        absorb_tab: CrossSection, geom: Geometry,
-                        master_key, inv_ntotal: float, max_calls: int,
-                        k_pieces: int = 8, tile: int = 128,
-                        pair_cap: int = 8 * 1024 * 1024,
-                        interpret: bool = False):
+def pallas_flight_chunk_impl(state: ParticleState, tally,
+                             counts: EventCounts,
+                             fc, fv, fn, sfields, sn, segbuf, sbase,
+                             spairs, scatter_tab: CrossSection,
+                             absorb_tab: CrossSection, geom: Geometry,
+                             master_key, inv_ntotal: float, max_calls: int,
+                             k_pieces: int = 8, tile: int = 128,
+                             pair_cap: int = 8 * 1024 * 1024,
+                             interpret: bool = False,
+                             x_off=None, y_off=None):
     """Fused flight chunk: kernel calls + in-loop ring drains.
 
     Flush rings drain straight into the tally (pallas_sweep._drain_rings);
     segment rings extract into `segbuf` until it (or the pair budget)
     fills, at which point the chunk returns so the host can rasterize.
     Rings persist across chunks via the caller-owned arrays.
+
+    Unjitted (shard_map-composable); `x_off`/`y_off` activate the
+    spatial window (out-of-window lanes freeze and don't count as work).
     """
     from .pallas_sweep import _drain_rings
 
@@ -339,7 +340,14 @@ def pallas_flight_chunk(state: ParticleState, tally, counts: EventCounts,
     inv_tile = np.float32(1.0 / tile)
 
     def working(s):
-        return (~s.dead) & (s.dt_to_census > 0)
+        w = (~s.dead) & (s.dt_to_census > 0)
+        if x_off is not None:
+            lx = s.cellx - x_off
+            w = w & (lx >= 0) & (lx < geom.nx)
+        if y_off is not None:
+            ly = s.celly - y_off
+            w = w & (ly >= 0) & (ly < geom.ny)
+        return w
 
     def cond(carry):
         (s, t, c, fc, fv, fn, sf, sn, sb, base, sp, it, full) = carry
@@ -350,7 +358,7 @@ def pallas_flight_chunk(state: ParticleState, tally, counts: EventCounts,
         s, (fc, fv, fn), (sf, sn), nfac, ncol = pallas_flight_multi(
             s, (fc, fv, fn), (sf, sn), scatter_tab, absorb_tab, geom,
             master_key, inv_ntotal, t, k_pieces=k_pieces,
-            interpret=interpret)
+            interpret=interpret, x_off=x_off, y_off=y_off)
         w = working(s)
         f_full = fn >= fc.shape[0] - 1
         s_full = sn >= s_slots
@@ -396,6 +404,28 @@ def pallas_flight_chunk(state: ParticleState, tally, counts: EventCounts,
              spairs, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
     (state, tally, counts, fc, fv, fn, sfields, sn, segbuf, sbase, spairs,
      ncalls, _) = lax.while_loop(cond, body, carry)
-    any_live = jnp.any((~state.dead) & (state.dt_to_census > 0))
+    # Windowed mode: workable lanes on THIS shard (frozen out-of-window
+    # lanes are the caller's migration work).
+    any_live = jnp.any(working(state))
     return (state, tally, counts, fc, fv, fn, sfields, sn, segbuf, sbase,
             spairs, ncalls * k_pieces, any_live)
+
+
+@partial(jax.jit, static_argnames=("geom", "inv_ntotal", "max_calls",
+                                   "k_pieces", "tile", "pair_cap",
+                                   "interpret"),
+         donate_argnums=(0, 1, 3, 4, 5, 6, 7, 8))
+def pallas_flight_chunk(state: ParticleState, tally, counts: EventCounts,
+                        fc, fv, fn, sfields, sn, segbuf, sbase, spairs,
+                        scatter_tab: CrossSection,
+                        absorb_tab: CrossSection, geom: Geometry,
+                        master_key, inv_ntotal: float, max_calls: int,
+                        k_pieces: int = 8, tile: int = 128,
+                        pair_cap: int = 8 * 1024 * 1024,
+                        interpret: bool = False):
+    """Jitted single-device wrapper of pallas_flight_chunk_impl."""
+    return pallas_flight_chunk_impl(
+        state, tally, counts, fc, fv, fn, sfields, sn, segbuf, sbase,
+        spairs, scatter_tab, absorb_tab, geom, master_key, inv_ntotal,
+        max_calls, k_pieces=k_pieces, tile=tile, pair_cap=pair_cap,
+        interpret=interpret)

@@ -1,27 +1,36 @@
-"""Multi-device free-flight engine: replicated mesh, sharded particles.
+"""Multi-device free-flight engine: one step path for every decomposition.
 
-The flight engine (flight.py + raster.py) is embarrassingly parallel over
-particles in the replicated-mesh mode: every shard traces its own lanes'
-flight pieces against the same analytic rect geometry, buffers its own
-flush entries and rasterizer segments, drains into its own private tally
-row and full-domain raster buffer, and the partials sum at validation
-time — the same zero-collective hot loop as ShardedSimulation's stepping
-path (reference analog: per-rank transport + final MPI_Allreduce,
-omp3/neutral.c:530).
+The flight engine (flight.py + raster.py + pallas_flight.py) runs under
+every multi-device driver through ONE shared step implementation
+(FlightDecomposedMixin) — the reference's uniform kernel interface
+(neutral_interface.h:11-36) generalized to decompositions:
 
-Per-shard buffer capacities scale down with the shard count; the drain
-budget gates are per shard, and a chunk round ends when ANY shard runs
-out of buffer (pmax'd), keeping the SPMD program uniform.
+  * replicated mesh (ShardedSimulation): every shard traces its lanes
+    against the whole-domain rect geometry, rasterizes into a private
+    full-domain buffer, partials sum at validation — zero collectives,
+    like per-rank transport + final MPI_Allreduce (omp3/neutral.c:530);
+  * spatial slabs/blocks (SpatialSimulation/Spatial2DSimulation): the
+    windowed flight_core clamps rect walls to each shard's block,
+    rasters are block-sized (per-chip tally memory scales), and frozen
+    out-of-window lanes migrate at chunk boundaries with the stepping
+    engine's flow control.
+
+On TPU the per-shard program is the fused Mosaic kernel with persistent
+VMEM rings (pallas_flight.py); elsewhere the XLA flight loop.  Per-shard
+buffer capacities scale down with the shard count; drain budget gates
+are per shard.
 """
 
 from __future__ import annotations
 
+import time as _time
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..flight import flight_chunk_impl
@@ -29,48 +38,7 @@ from ..particles import ParticleState
 from ..raster import raster_drain_impl, rasterize_xla
 from ..transport import EventCounts, Geometry
 from ..xs import CrossSection
-from .sharding import _state_spec
-
-
-@partial(jax.jit,
-         static_argnames=("geom", "inv_ntotal", "mesh_axes", "max_sweeps",
-                          "tile", "pair_cap"),
-         donate_argnums=(0, 1, 2, 3))
-def flight_chunk_sharded(state: ParticleState, fbuf_cell, fbuf_val,
-                         segbuf, scatter_tab: CrossSection,
-                         absorb_tab: CrossSection, geom: Geometry,
-                         master_key, inv_ntotal: float, mesh_axes: Mesh,
-                         max_sweeps: int, tile: int = 128,
-                         pair_cap: int = 1 << 20):
-    """One flight chunk per shard (single dispatch over the mesh).
-
-    Buffers are sharded rows: fbuf_* (nshards*FCAP,), segbuf
-    (nshards*SCAP, 8).  Returns (state, fbufs, segbuf, c_rows,
-    fcnt_rows, scnt_rows, nsweeps_max, any_live_global).
-    """
-    axis = mesh_axes.axis_names[0]
-    pspec = _state_spec(axis)
-
-    def shard_fn(s, fc, fv, sb):
-        z = jnp.zeros((), jnp.int32)
-        (s, c, fc, fv, sb, fcnt, scnt, spairs, done,
-         live) = flight_chunk_impl(
-            s, EventCounts.zeros(), scatter_tab, fc, fv, sb, z, z, z,
-            absorb_tab, geom, master_key, inv_ntotal, max_sweeps,
-            tile=tile, pair_cap=pair_cap)
-        live = lax.pmax(live.astype(jnp.int32), axis)
-        done = lax.pmax(done, axis)
-        c_row = jnp.stack([c.nfacets_hi, c.nfacets_lo,
-                           c.ncollisions_hi, c.ncollisions_lo])[None, :]
-        return (s, fc, fv, sb, c_row, fcnt[None], scnt[None], done, live)
-
-    fn = shard_map(
-        shard_fn, mesh=mesh_axes,
-        in_specs=(pspec, P(axis), P(axis), P(axis, None)),
-        out_specs=(pspec, P(axis), P(axis), P(axis, None), P(axis, None),
-                   P(axis), P(axis), P(), P()),
-        check_vma=False)
-    return fn(state, fbuf_cell, fbuf_val, segbuf)
+from .common import _state_spec, combine_count_rows
 
 
 @partial(jax.jit, static_argnames=("mesh_axes",), donate_argnums=(0,))
@@ -161,3 +129,327 @@ def merge_raster_sharded(tally_parts, rbufs, mesh_axes: Mesh, *, nx: int,
                              else P(axis, None)),
                    out_specs=P(axis, None), check_vma=False)
     return fn(tally_parts, rbufs)
+
+
+class FlightDecomposedMixin:
+    """Shared flight-engine step for every multi-device driver.
+
+    Subclasses supply the decomposition through four hooks:
+      _axes_names()    mesh axis name(s) ("p", or ("py", "px")),
+      _dyn_offsets()   traced window origin inside a shard_map body
+                       ((None, None) = replicated whole-domain view),
+      _migrate_shard() the migration round(s) (no-op when replicated),
+      _flight_begin()  per-step reinit -> (state, nprocessed).
+    Everything else — the XLA and fused-Mosaic chunk programs, drain
+    structure, raster tiers, overflow recovery — is identical across
+    decompositions, so it lives here once.
+    """
+
+    # -- default hooks: replicated mesh, no migration --------------------
+    def _axes_names(self):
+        return self.axis
+
+    def _dyn_offsets(self):
+        return None, None
+
+    def _migrate_shard(self, s, x_off, y_off, gate=None):
+        return s, jnp.zeros((), jnp.int32)
+
+    def _flight_begin(self, mk):
+        raise NotImplementedError
+
+    # --------------------------------------------------------------------
+    @partial(jax.jit, static_argnames=("self",),
+             donate_argnums=(1, 2, 3, 4))
+    def _flight_chunk(self, state, fcell, fval, segbuf, mk):
+        """One (windowed) XLA flight chunk + migration round per shard.
+
+        Buffers are sharded rows refilled from scratch each chunk (their
+        counts return for the host-side drains).  Returns (state, fcell,
+        fval, segbuf, c_rows, fcnt_rows, scnt_rows, scnt_max, done,
+        work, err).
+        """
+        from ..raster import TILE
+
+        axes = self._axes_names()
+        spec = _state_spec(axes)
+        nshards = self.nshards
+        PCAP = max(self.flight_pair_cap // nshards, 65536)
+        geom = self.geom
+
+        def shard_fn(s, fc, fv, sb):
+            x_off, y_off = self._dyn_offsets()
+            z = jnp.zeros((), jnp.int32)
+            (s, c, fc, fv, sb, fcnt, scnt, spairs, done,
+             _w) = flight_chunk_impl(
+                s, EventCounts.zeros(), self.cs_scatter, fc, fv, sb,
+                z, z, z, self.cs_absorb, geom, mk,
+                1.0 / self.cfg.nparticles, self.chunk_sweeps,
+                tile=TILE, pair_cap=PCAP, x_off=x_off, y_off=y_off)
+            s, moved = self._migrate_shard(s, x_off, y_off)
+            live = (~s.dead) & (s.dt_to_census > 0)
+            inwin = live
+            if x_off is not None:
+                lx = s.cellx - x_off
+                inwin = inwin & (lx >= 0) & (lx < geom.nx)
+            if y_off is not None:
+                ly = s.celly - y_off
+                inwin = inwin & (ly >= 0) & (ly < geom.ny)
+            pending = jnp.count_nonzero(live & (~inwin))
+            work = lax.psum(jnp.count_nonzero(inwin).astype(jnp.uint32)
+                            + pending.astype(jnp.uint32), axes)
+            pending_g = lax.psum(pending.astype(jnp.int32), axes)
+            moved_g = lax.psum(moved, axes)
+            err = ((pending_g > 0) & (moved_g == 0)).astype(jnp.int32)
+            done = lax.pmax(done, axes)
+            scnt_max = lax.pmax(scnt, axes)
+            c_row = jnp.stack([c.nfacets_hi, c.nfacets_lo,
+                               c.ncollisions_hi, c.ncollisions_lo])[None, :]
+            return (s, fc, fv, sb, c_row, fcnt[None], scnt[None],
+                    scnt_max, done, work, err)
+
+        fn = shard_map(
+            shard_fn, mesh=self.device_mesh,
+            in_specs=(spec, P(axes), P(axes), P(axes, None)),
+            out_specs=(spec, P(axes), P(axes), P(axes, None),
+                       P(axes, None), P(axes), P(axes), P(), P(), P(),
+                       P()),
+            check_vma=False)
+        return fn(state, fcell, fval, segbuf)
+
+    def _fresh_flight_rings(self):
+        """Empty fused-path rings sharded alongside the lane slabs."""
+        from ..pallas_flight import make_seg_ring
+        from ..pallas_sweep import make_rings
+        total = self.state.x.shape[0]
+        axes = self._axes_names()
+        colspec = NamedSharding(self.device_mesh, P(None, axes))
+        lane = NamedSharding(self.device_mesh, P(axes))
+        fc, fv, fnr = make_rings(total, self.tally_parts.dtype,
+                                 ring_slots=8)
+        sfields, sn = make_seg_ring(total, self.dtype, s_slots=4)
+        return (jax.device_put(fc, colspec), jax.device_put(fv, colspec),
+                jax.device_put(fnr, lane),
+                tuple(jax.device_put(sf, colspec) for sf in sfields),
+                jax.device_put(sn, lane))
+
+    @partial(jax.jit, static_argnames=("self",),
+             donate_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
+    def _flight_chunk_fused(self, state, tally_parts, fc, fv, fn,
+                            sfields, sn, segbuf, mk):
+        """Fused-Mosaic (windowed) flight chunk + migration (TPU path).
+
+        Per-lane flush/segment rings persist across chunks (sharded
+        alongside the lanes); each chunk ends with a forced ring drain —
+        flushes scatter into the shard's tally row, segments extract into
+        the flat buffer the host rasterizes — then a migration round.
+        Ring entries are anonymous (they carry shard-local cell
+        coordinates), so a husk's pending entries stay valid wherever
+        the lane itself travels.  Returns (state, tally_parts, fc, fv,
+        fn, sfields, sn, segbuf, c_rows, sbase_rows, spairs_max, done,
+        work, err, ringleft).
+        """
+        from ..pallas_flight import (_extract_segments,
+                                     pallas_flight_chunk_impl)
+        from ..pallas_sweep import _drain_rings
+        from ..raster import TILE
+
+        axes = self._axes_names()
+        spec = _state_spec(axes)
+        nshards = self.nshards
+        PCAP = max(self.flight_pair_cap // nshards, 65536)
+        geom = self.geom
+        per_shard = state.x.shape[0] // nshards
+        big = per_shard > 262144
+        max_calls = (getattr(self, "flight_max_calls", None)
+                     or (32 if big else 128))
+        k_pieces = (getattr(self, "flight_k_pieces", None)
+                    or (8 if big else 16))
+        interpret = getattr(self, "flight_fused_interpret", False)
+        inv_tile = np.float32(1.0 / TILE)
+        s_slots = sfields[0].shape[0]
+
+        def shard_fn(s, t_row, fcr, fvr, fnr, sf, snn, sb):
+            x_off, y_off = self._dyn_offsets()
+            z = jnp.zeros((), jnp.int32)
+            (s, t, c, fcr, fvr, fnr, sf, snn, sb, sbase, spairs, done,
+             _w) = pallas_flight_chunk_impl(
+                s, t_row[0], EventCounts.zeros(), fcr, fvr, fnr, sf, snn,
+                sb, z, z, self.cs_scatter, self.cs_absorb, geom, mk,
+                1.0 / self.cfg.nparticles, max_calls, k_pieces=k_pieces,
+                tile=TILE, pair_cap=PCAP, interpret=interpret,
+                x_off=x_off, y_off=y_off)
+            # Forced end-of-chunk drain: without it a shard whose lanes
+            # all finished would never empty its rings (the in-chunk
+            # drain cadence is pause-pressure driven).
+            t, fcr, fvr, fnr = lax.cond(
+                jnp.any(fnr > 0),
+                lambda op: _drain_rings(*op), lambda op: op,
+                (t, fcr, fvr, fnr))
+
+            def ext(op):
+                sf, snn, sb, base, sp = op
+                sb, base, sp, (sf, snn), _left = _extract_segments(
+                    sf, snn, sb, base, sp, inv_tile, PCAP)
+                return sf, snn, sb, base, sp
+
+            nonempty = jnp.sum(jnp.minimum(snn, s_slots),
+                               dtype=jnp.int32) > 0
+            sf, snn, sb, sbase, spairs = lax.cond(
+                nonempty, ext, lambda op: op,
+                (sf, snn, sb, sbase, spairs))
+            s, moved = self._migrate_shard(s, x_off, y_off)
+            live = (~s.dead) & (s.dt_to_census > 0)
+            inwin = live
+            if x_off is not None:
+                lx = s.cellx - x_off
+                inwin = inwin & (lx >= 0) & (lx < geom.nx)
+            if y_off is not None:
+                ly = s.celly - y_off
+                inwin = inwin & (ly >= 0) & (ly < geom.ny)
+            pending = jnp.count_nonzero(live & (~inwin))
+            # Budget-vetoed ring backlog counts as work: the host
+            # rasterizes and the next chunk's fresh budget drains it.
+            ringwork = jnp.count_nonzero(snn > 0)
+            work = lax.psum((jnp.count_nonzero(inwin) + pending
+                             + ringwork).astype(jnp.uint32), axes)
+            pending_g = lax.psum(pending.astype(jnp.int32), axes)
+            moved_g = lax.psum(moved, axes)
+            err = ((pending_g > 0) & (moved_g == 0)).astype(jnp.int32)
+            ringleft = lax.psum(ringwork.astype(jnp.int32), axes)
+            done = lax.pmax(done, axes)
+            sp_max = lax.pmax(spairs, axes)
+            c_row = jnp.stack([c.nfacets_hi, c.nfacets_lo,
+                               c.ncollisions_hi, c.ncollisions_lo])[None, :]
+            return (s, t[None, :], fcr, fvr, fnr, sf, snn, sb, c_row,
+                    sbase[None], sp_max, done, work, err, ringleft)
+
+        ring_col = P(None, axes)
+        mapped = shard_map(
+            shard_fn, mesh=self.device_mesh,
+            in_specs=(spec, P(axes, None), ring_col, ring_col, P(axes),
+                      (ring_col,) * 5, P(axes), P(axes, None)),
+            out_specs=(spec, P(axes, None), ring_col, ring_col, P(axes),
+                       (ring_col,) * 5, P(axes), P(axes, None),
+                       P(axes, None), P(axes), P(), P(), P(), P(), P()),
+            check_vma=False)
+        return mapped(state, tally_parts, fc, fv, fn, sfields, sn, segbuf)
+
+    def _step_flight_decomposed(self, tt: int):
+        """Flight-engine census step over the device mesh.
+
+        Replicated mode: full-domain rasters, no migration.  Spatial
+        modes: every shard traces pieces only inside its own window and
+        rasterizes into a BLOCK-sized buffer — the per-chip tally memory
+        actually scales; migration runs at chunk boundaries with the
+        stepping engine's flow control and capacity recovery.
+        """
+        from ..raster import TILE, grid_shape
+
+        cfg = self.cfg
+        self.profile.start()
+        mk = jnp.uint32(tt)
+        self.state, nprocessed = self._flight_begin(mk)
+        nshards = self.nshards
+        axes = self._axes_names()
+        bx, by = self.geom.nx, self.geom.ny      # shard block extent
+        nty, ntx = grid_shape(bx, by, TILE)
+        use_fused = ((jax.default_backend() == "tpu"
+                      and self.dtype == jnp.dtype(jnp.float32))
+                     or getattr(self, "flight_fused_interpret", False))
+        use_pallas_raster = (jax.default_backend() == "tpu"
+                             or getattr(self, "flight_fused_interpret",
+                                        False))
+        FCAP = max(self.flight_flush_cap // nshards, 8192)
+        SCAP = max(self.flight_seg_cap // nshards, 4096)
+        PCAP = max(self.flight_pair_cap // nshards, 65536)
+        TIERS = [c for c in (1 << 18, 1 << 20) if c < PCAP] + [PCAP]
+        tdt = self.tally_parts.dtype
+        col = NamedSharding(self.device_mesh, P(axes))
+        row = NamedSharding(self.device_mesh, P(axes, None))
+        segbuf = jax.device_put(
+            jnp.zeros((nshards * SCAP, 8), self.dtype), row)
+        if use_fused:
+            fcell = fval = None
+            rings = self._fresh_flight_rings()
+        else:
+            fcell = jax.device_put(jnp.zeros(nshards * FCAP, jnp.int32),
+                                   col)
+            fval = jax.device_put(jnp.zeros(nshards * FCAP, tdt), col)
+        if use_pallas_raster:
+            rbufs = jax.device_put(
+                jnp.zeros((nshards, nty * TILE, ntx * TILE), jnp.float32),
+                NamedSharding(self.device_mesh, P(axes, None, None)))
+        else:
+            rbufs = jax.device_put(jnp.zeros((nshards, bx * by), tdt), row)
+        nf = nc = nsweeps = 0
+        grows = 0
+        interp = getattr(self, "flight_fused_interpret", False)
+        phases = {"sweep": 0.0, "drain": 0.0}
+        while True:
+            t0 = _time.perf_counter()
+            if use_fused:
+                fc, fv, fnr, sfields, sn = rings
+                (self.state, self.tally_parts, fc, fv, fnr, sfields, sn,
+                 segbuf, c_rows, scnt_rows, sp_max, done, work, err,
+                 ringleft) = self._flight_chunk_fused(
+                    self.state, self.tally_parts, fc, fv, fnr, sfields,
+                    sn, segbuf, mk)
+                rings = (fc, fv, fnr, sfields, sn)
+                scnt_max = int(jnp.max(scnt_rows))
+            else:
+                ringleft = 0
+                (self.state, fcell, fval, segbuf, c_rows, fcnt_rows,
+                 scnt_rows, scnt_max, done, work,
+                 err) = self._flight_chunk(
+                    self.state, fcell, fval, segbuf, mk)
+                scnt_max = int(scnt_max)
+            dnf, dnc = combine_count_rows(c_rows)
+            nf += dnf
+            nc += dnc
+            nsweeps += int(done)
+            t1 = _time.perf_counter()
+            if not use_fused:
+                self.tally_parts = drain_flushes_sharded(
+                    self.tally_parts, fcell, fval, fcnt_rows,
+                    self.device_mesh)
+            if scnt_max > 0:
+                pcap = (next(c for c in TIERS if int(sp_max) <= c)
+                        if use_fused else PCAP)
+                rbufs = raster_drain_sharded(
+                    rbufs, segbuf, scnt_rows, self.device_mesh, tile=TILE,
+                    ntx=ntx, nty=nty, pair_cap=pcap, nx=bx, ny=by,
+                    use_pallas_raster=use_pallas_raster,
+                    interpret=interp)
+            phases["sweep"] += t1 - t0
+            phases["drain"] += _time.perf_counter() - t1
+            if int(err) and int(ringleft) == 0:
+                # Repartition only with globally empty rings (the chunk
+                # force-drains them; a budget-vetoed backlog keeps
+                # ringleft > 0 and clears within a round or two) — a
+                # lane reorder must never discard pending ring entries.
+                grows += 1
+                if grows > 6:
+                    raise RuntimeError(
+                        "particle migration overflow persists after "
+                        f"{grows - 1} capacity doublings — aborting")
+                self._print(f"migration overflow: growing shard capacity "
+                            f"{self.cap} -> {2 * self.cap}, "
+                            "repartitioning")
+                self._repartition(2 * self.cap)
+                if use_fused:
+                    rings = self._fresh_flight_rings()
+                continue
+            if int(work) == 0:
+                break
+        self.tally_parts = merge_raster_sharded(
+            self.tally_parts, rbufs, self.device_mesh, nx=bx, ny=by,
+            use_pallas_raster=use_pallas_raster)
+        jax.block_until_ready(self.tally_parts)
+        step_time = self.profile.stop(f"step{tt}")
+        from .. import driver as driver_mod
+        m = driver_mod.StepMetrics(
+            step=tt, step_time=step_time, nfacets=nf, ncollisions=nc,
+            nprocessed=int(nprocessed), nsweeps=nsweeps, phases=phases)
+        self.step_metrics.append(m)
+        return m

@@ -44,6 +44,10 @@ from ..transport import Geometry, run_timestep
 from ..xs import CrossSection
 
 
+from .common import _state_spec, combine_count_rows  # noqa: F401  (re-export)
+from .flight_sharded import FlightDecomposedMixin
+
+
 def make_device_mesh(n_devices: int | None = None,
                      axis_name: str = "p") -> Mesh:
     """1D device mesh over all (or the first n) visible devices."""
@@ -51,12 +55,6 @@ def make_device_mesh(n_devices: int | None = None,
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis_name,))
-
-
-def _state_spec(axis: str) -> ParticleState:
-    """PartitionSpec pytree: every particle array sharded along the axis."""
-    nfields = len(ParticleState.__dataclass_fields__)
-    return ParticleState(*([P(axis)] * nfields))
 
 
 @partial(jax.jit,
@@ -297,22 +295,6 @@ def drain_rings_sharded(tally_parts, ring_cell, ring_val, ring_cnt,
     return fn(tally_parts, ring_cell, ring_val, ring_cnt)
 
 
-def combine_count_rows(c_rows) -> tuple[int, int]:
-    """(nshards, 4) u32 [hi_f, lo_f, hi_c, lo_c] rows -> (nfacets, ncoll).
-
-    In multi-process runs the row array spans non-addressable shards;
-    process_allgather rebuilds the global (tiny) array on every host.
-    """
-    import numpy as np
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-        c_rows = multihost_utils.process_allgather(c_rows, tiled=True)
-    a = np.asarray(c_rows, dtype=np.uint64)
-    nf = int((a[:, 0] << np.uint64(32) | a[:, 1]).sum())
-    nc = int((a[:, 2] << np.uint64(32) | a[:, 3]).sum())
-    return nf, nc
-
-
 class _HostCounts:
     """Host-side event counters with the EventCounts.totals() interface."""
 
@@ -324,7 +306,8 @@ class _HostCounts:
         return self.nfacets, self.ncollisions
 
 
-class ShardedSimulation(driver_mod.SimulationBase):
+class ShardedSimulation(FlightDecomposedMixin,
+                        driver_mod.SimulationBase):
     """Multi-chip particle-parallel simulation (replicated mesh mode).
 
     Same run()/validate()/IO as driver.Simulation; state is sharded over
@@ -344,6 +327,7 @@ class ShardedSimulation(driver_mod.SimulationBase):
         self.device_mesh = device_mesh or make_device_mesh()
         self.axis = self.device_mesh.axis_names[0]
         nshards = self.device_mesh.devices.size
+        self.nshards = nshards
         self.mesh2d = self.mesh  # alias used by the sharded step fns
 
         # Pad so each shard gets an equal, lane-aligned slab.  pid stays
@@ -387,7 +371,7 @@ class ShardedSimulation(driver_mod.SimulationBase):
     def step(self, tt: int):
         """Chunk-dispatched sharded census step; returns StepMetrics."""
         if self.use_flight:
-            return self._step_flight_sharded(tt)
+            return self._step_flight_decomposed(tt)
         self.profile.start()
         master_key = jnp.uint32(tt)
         self.state, nprocessed = begin_timestep_sharded(
@@ -470,78 +454,10 @@ class ShardedSimulation(driver_mod.SimulationBase):
         self.step_metrics.append(m)
         return m
 
-    def _step_flight_sharded(self, tt: int):
-        """Sharded free-flight census step (parallel.flight_sharded).
-
-        Per-shard buffers/rasters; chunk rounds end when ANY shard fills
-        a budget; no compaction ladder (the flight tail is short — pieces
-        per lane are few even on long-census decks).
-        """
-        from ..raster import TILE, grid_shape
-        from .flight_sharded import (drain_flushes_sharded,
-                                     flight_chunk_sharded,
-                                     merge_raster_sharded,
-                                     raster_drain_sharded)
-
-        cfg = self.cfg
-        self.profile.start()
-        mk = jnp.uint32(tt)
-        self.state, nprocessed = begin_timestep_sharded(
-            self.state, self.mesh2d, self.cs_scatter, self.geom, cfg.dt,
-            mk, self.device_mesh)
-        nshards = self.device_mesh.devices.size
-        nty, ntx = grid_shape(cfg.nx, cfg.ny, TILE)
-        use_pallas_raster = jax.default_backend() == "tpu"
-        FCAP = max(self.flight_flush_cap // nshards, 8192)
-        SCAP = max(self.flight_seg_cap // nshards, 4096)
-        PCAP = max(self.flight_pair_cap // nshards, 65536)
-        tdt = self.tally_parts.dtype
-        col = NamedSharding(self.device_mesh, P(self.axis))
-        row = NamedSharding(self.device_mesh, P(self.axis, None))
-        fcell = jax.device_put(jnp.zeros(nshards * FCAP, jnp.int32), col)
-        fval = jax.device_put(jnp.zeros(nshards * FCAP, tdt), col)
-        segbuf = jax.device_put(
-            jnp.zeros((nshards * SCAP, 8), self.dtype), row)
-        if use_pallas_raster:
-            rbufs = jax.device_put(
-                jnp.zeros((nshards, nty * TILE, ntx * TILE), jnp.float32),
-                NamedSharding(self.device_mesh, P(self.axis, None, None)))
-        else:
-            rbufs = jax.device_put(
-                jnp.zeros((nshards, cfg.nx * cfg.ny), tdt), row)
-        inv_ntotal = 1.0 / cfg.nparticles
-        nf = nc = nsweeps = 0
-        while True:
-            (self.state, fcell, fval, segbuf, c_rows, fcnt_rows,
-             scnt_rows, done, any_live) = flight_chunk_sharded(
-                self.state, fcell, fval, segbuf, self.cs_scatter,
-                self.cs_absorb, self.geom, mk, inv_ntotal,
-                self.device_mesh, self.chunk_sweeps, tile=TILE,
-                pair_cap=PCAP)
-            dnf, dnc = combine_count_rows(c_rows)
-            nf += dnf
-            nc += dnc
-            nsweeps += int(done)
-            self.tally_parts = drain_flushes_sharded(
-                self.tally_parts, fcell, fval, fcnt_rows,
-                self.device_mesh)
-            if int(jnp.max(scnt_rows)) > 0:
-                rbufs = raster_drain_sharded(
-                    rbufs, segbuf, scnt_rows, self.device_mesh, tile=TILE,
-                    ntx=ntx, nty=nty, pair_cap=PCAP, nx=cfg.nx, ny=cfg.ny,
-                    use_pallas_raster=use_pallas_raster)
-            if not bool(any_live):
-                break
-        self.tally_parts = merge_raster_sharded(
-            self.tally_parts, rbufs, self.device_mesh, nx=cfg.nx,
-            ny=cfg.ny, use_pallas_raster=use_pallas_raster)
-        jax.block_until_ready(self.tally_parts)
-        step_time = self.profile.stop(f"step{tt}")
-        m = driver_mod.StepMetrics(
-            step=tt, step_time=step_time, nfacets=nf, ncollisions=nc,
-            nprocessed=int(nprocessed), nsweeps=nsweeps)
-        self.step_metrics.append(m)
-        return m
+    def _flight_begin(self, mk):
+        return begin_timestep_sharded(
+            self.state, self.mesh2d, self.cs_scatter, self.geom,
+            self.cfg.dt, mk, self.device_mesh)
 
     @property
     def tally(self) -> jnp.ndarray:

@@ -50,6 +50,7 @@ from .. import transport
 from ..config import SimConfig
 from ..particles import ParticleState, inject_particles
 from ..transport import EventCounts, Geometry
+from .flight_sharded import FlightDecomposedMixin
 from .sharding import _state_spec, combine_count_rows, make_device_mesh
 
 
@@ -61,7 +62,7 @@ def _partition_by_slab(state: ParticleState, nshards: int, rows: int,
 
 
 def _migrate_axis(s: ParticleState, field: str, off, axis: str,
-                  nshards: int, win: int, cap_xfer: int):
+                  nshards: int, win: int, cap_xfer: int, gate=None):
     """One ±1-neighbor migration round along one mesh axis.
 
     `field` is the owning cell coordinate ("celly" for slab rows along the
@@ -74,8 +75,15 @@ def _migrate_axis(s: ParticleState, field: str, off, axis: str,
     particle.  Lanes that don't fit stay frozen and retry next round; the
     caller detects a stalled backlog (pending without movement) and grows
     capacity.
+
+    `gate` (optional bool mask) withholds lanes from this round — the
+    fused flight path gates on ring-empty so lane-indexed ring entries
+    can never be orphaned by a lane reorder; gated lanes retry after the
+    next ring drain exactly like budget-vetoed ones.
     """
     live = (~s.dead) & (s.dt_to_census > 0)
+    if gate is not None:
+        live = live & gate
     lc = getattr(s, field) - off
     go_up = live & (lc >= win)
     go_dn = live & (lc < 0)
@@ -144,7 +152,8 @@ def _migrate_axis(s: ParticleState, field: str, off, axis: str,
     return s, nmoved.astype(jnp.int32)
 
 
-class SpatialSimulation(driver_mod.SimulationBase):
+class SpatialSimulation(FlightDecomposedMixin,
+                        driver_mod.SimulationBase):
     """Slab-decomposed multi-chip simulation with particle migration."""
 
     # The free-flight engine runs under the spatial decompositions too
@@ -338,164 +347,19 @@ class SpatialSimulation(driver_mod.SimulationBase):
         return None, (lax.axis_index(self.axis) * self.rows).astype(
             jnp.int32)
 
-    def _migrate_shard(self, s, x_off, y_off):
+    def _migrate_shard(self, s, x_off, y_off, gate=None):
         """Run this decomposition's migration round(s); returns (s, moved)."""
         return _migrate_axis(s, "celly", y_off, self.axis, self.nshards,
-                             self.rows, self.cap_xfer)
+                             self.rows, self.cap_xfer, gate=gate)
 
-    @partial(jax.jit, static_argnames=("self",),
-             donate_argnums=(1, 2, 3, 4))
-    def _flight_chunk(self, state, fcell, fval, segbuf, mk):
-        """One windowed flight chunk + migration round per shard.
-
-        Buffers are sharded rows refilled from scratch each chunk (their
-        counts return for the host-side drains); the shard's window
-        offsets come from its mesh coordinates, exactly like the
-        stepping _chunk.  Returns (state, fcell, fval, segbuf, c_rows,
-        fcnt_rows, scnt_rows, scnt_max, done, work, err).
-        """
-        from ..flight import flight_chunk_impl
-        from ..raster import TILE
-
-        axes = self._axes_names()
-        spec = _state_spec(axes)
-        nshards = self.nshards
-        FCAP = fcell.shape[0] // nshards
-        PCAP = max(self.flight_pair_cap // nshards, 65536)
-        geom = self.geom
-
-        def shard_fn(s, fc, fv, sb):
-            x_off, y_off = self._dyn_offsets()
-            z = jnp.zeros((), jnp.int32)
-            (s, c, fc, fv, sb, fcnt, scnt, spairs, done,
-             _w) = flight_chunk_impl(
-                s, EventCounts.zeros(), self.cs_scatter, fc, fv, sb,
-                z, z, z, self.cs_absorb, geom, mk,
-                1.0 / self.cfg.nparticles, self.chunk_sweeps,
-                tile=TILE, pair_cap=PCAP, x_off=x_off, y_off=y_off)
-            s, moved = self._migrate_shard(s, x_off, y_off)
-            live = (~s.dead) & (s.dt_to_census > 0)
-            inwin = live
-            if x_off is not None:
-                lx = s.cellx - x_off
-                inwin = inwin & (lx >= 0) & (lx < geom.nx)
-            ly = s.celly - y_off
-            inwin = inwin & (ly >= 0) & (ly < geom.ny)
-            pending = jnp.count_nonzero(live & (~inwin))
-            work = lax.psum(jnp.count_nonzero(inwin).astype(jnp.uint32)
-                            + pending.astype(jnp.uint32), axes)
-            pending_g = lax.psum(pending.astype(jnp.int32), axes)
-            moved_g = lax.psum(moved, axes)
-            err = ((pending_g > 0) & (moved_g == 0)).astype(jnp.int32)
-            done = lax.pmax(done, axes)
-            scnt_max = lax.pmax(scnt, axes)
-            c_row = jnp.stack([c.nfacets_hi, c.nfacets_lo,
-                               c.ncollisions_hi, c.ncollisions_lo])[None, :]
-            return (s, fc, fv, sb, c_row, fcnt[None], scnt[None],
-                    scnt_max, done, work, err)
-
-        fn = shard_map(
-            shard_fn, mesh=self.device_mesh,
-            in_specs=(spec, P(axes), P(axes), P(axes, None)),
-            out_specs=(spec, P(axes), P(axes), P(axes, None),
-                       P(axes, None), P(axes), P(axes), P(), P(), P(),
-                       P()),
-            check_vma=False)
-        return fn(state, fcell, fval, segbuf)
-
-    def _step_flight_spatial(self, tt: int):
-        """Flight-engine census step under the spatial decomposition.
-
-        Same drain structure as the replicated sharded flight path
-        (ShardedSimulation._step_flight_sharded), but every shard traces
-        pieces only inside its own window and rasterizes into a
-        BLOCK-sized buffer — the per-chip tally memory actually scales.
-        Migration runs at chunk boundaries with the stepping engine's
-        flow control and capacity recovery.
-        """
-        import time as _time
-
-        from ..raster import TILE, grid_shape
-        from .flight_sharded import (drain_flushes_sharded,
-                                     merge_raster_sharded,
-                                     raster_drain_sharded)
-
-        cfg = self.cfg
-        self.profile.start()
-        mk = jnp.uint32(tt)
-        self.state, nprocessed = self._begin(self.state,
-                                             self.density_parts, mk)
-        nshards = self.nshards
-        axes = self._axes_names()
-        bx, by = self.geom.nx, self.geom.ny      # shard block extent
-        nty, ntx = grid_shape(bx, by, TILE)
-        use_pallas_raster = jax.default_backend() == "tpu"
-        FCAP = max(self.flight_flush_cap // nshards, 8192)
-        SCAP = max(self.flight_seg_cap // nshards, 4096)
-        PCAP = max(self.flight_pair_cap // nshards, 65536)
-        tdt = self.tally_parts.dtype
-        col = NamedSharding(self.device_mesh, P(axes))
-        row = NamedSharding(self.device_mesh, P(axes, None))
-        fcell = jax.device_put(jnp.zeros(nshards * FCAP, jnp.int32), col)
-        fval = jax.device_put(jnp.zeros(nshards * FCAP, tdt), col)
-        segbuf = jax.device_put(
-            jnp.zeros((nshards * SCAP, 8), self.dtype), row)
-        if use_pallas_raster:
-            rbufs = jax.device_put(
-                jnp.zeros((nshards, nty * TILE, ntx * TILE), jnp.float32),
-                NamedSharding(self.device_mesh, P(axes, None, None)))
-        else:
-            rbufs = jax.device_put(jnp.zeros((nshards, bx * by), tdt), row)
-        nf = nc = nsweeps = 0
-        grows = 0
-        phases = {"sweep": 0.0, "drain": 0.0}
-        while True:
-            t0 = _time.perf_counter()
-            (self.state, fcell, fval, segbuf, c_rows, fcnt_rows,
-             scnt_rows, scnt_max, done, work, err) = self._flight_chunk(
-                self.state, fcell, fval, segbuf, mk)
-            dnf, dnc = combine_count_rows(c_rows)
-            nf += dnf
-            nc += dnc
-            nsweeps += int(done)
-            t1 = _time.perf_counter()
-            self.tally_parts = drain_flushes_sharded(
-                self.tally_parts, fcell, fval, fcnt_rows, self.device_mesh)
-            if int(scnt_max) > 0:
-                rbufs = raster_drain_sharded(
-                    rbufs, segbuf, scnt_rows, self.device_mesh, tile=TILE,
-                    ntx=ntx, nty=nty, pair_cap=PCAP, nx=bx, ny=by,
-                    use_pallas_raster=use_pallas_raster)
-            phases["sweep"] += t1 - t0
-            phases["drain"] += _time.perf_counter() - t1
-            if int(err):
-                grows += 1
-                if grows > 6:
-                    raise RuntimeError(
-                        "particle migration overflow persists after "
-                        f"{grows - 1} capacity doublings — aborting")
-                self._print(f"migration overflow: growing shard capacity "
-                            f"{self.cap} -> {2 * self.cap}, repartitioning")
-                self._repartition(2 * self.cap)
-                continue
-            if int(work) == 0:
-                break
-        self.tally_parts = merge_raster_sharded(
-            self.tally_parts, rbufs, self.device_mesh, nx=bx, ny=by,
-            use_pallas_raster=use_pallas_raster)
-        jax.block_until_ready(self.tally_parts)
-        step_time = self.profile.stop(f"step{tt}")
-        m = driver_mod.StepMetrics(
-            step=tt, step_time=step_time, nfacets=nf, ncollisions=nc,
-            nprocessed=int(nprocessed), nsweeps=nsweeps, phases=phases)
-        self.step_metrics.append(m)
-        return m
+    def _flight_begin(self, mk):
+        return self._begin(self.state, self.density_parts, mk)
 
     def step(self, tt: int):
         from .sharding import (max_live_sharded, merge_compacted_sharded,
                                select_working_padded_sharded)
         if self.use_flight:
-            return self._step_flight_spatial(tt)
+            return self._step_flight_decomposed(tt)
         self.profile.start()
         mk = jnp.uint32(tt)
         self.state, nprocessed = self._begin(self.state,
@@ -787,11 +651,11 @@ class Spatial2DSimulation(SpatialSimulation):
         return ((lax.axis_index("px") * self.cols).astype(jnp.int32),
                 (lax.axis_index("py") * self.rows).astype(jnp.int32))
 
-    def _migrate_shard(self, s, x_off, y_off):
+    def _migrate_shard(self, s, x_off, y_off, gate=None):
         s, mx = _migrate_axis(s, "cellx", x_off, "px", self.px, self.cols,
-                              self.cap_xfer)
+                              self.cap_xfer, gate=gate)
         s, my = _migrate_axis(s, "celly", y_off, "py", self.py, self.rows,
-                              self.cap_xfer)
+                              self.cap_xfer, gate=gate)
         return s, mx + my
 
     # ------------------------------------------------------------------

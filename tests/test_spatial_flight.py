@@ -144,3 +144,59 @@ def test_spatial_flight_tiny_transfer_budget():
 def test_spatial_supports_flight_attr():
     assert SpatialSimulation.supports_flight
     assert Spatial2DSimulation.supports_flight
+
+
+def _f32_stream_cfg():
+    return SimConfig(nx=32, ny=32, dt=5e-9, niters=1, nparticles=512,
+                     initial_energy=1.0e6, chunk_sweeps=8,
+                     source=SourceBox(0.4, 0.3, 0.2, 0.4),
+                     problems=(ProblemRegion(1.0e-2, 0.0, 0.0, 1.0, 1.0),),
+                     dtype="float32", tally_dtype="float32",
+                     engine="flight")
+
+
+@pytest.mark.slow
+def test_spatial_flight_fused_interpret_matches_split_single():
+    """Fused-Mosaic spatial flight (interpret) == single-device XLA flight
+    over the split-rect geometry: exact event counts, tally sum to f32
+    rounding.  Tiny sizes: interpret executes the kernel per-op and slow
+    shards must reach the migration ppermute within the CPU collective
+    rendezvous timeout."""
+    cfg = _f32_stream_cfg()
+    sp = SpatialSimulation(cfg, quiet=True)
+    assert sp.use_flight
+    sp.flight_fused_interpret = True
+    sp.flight_max_calls = 2
+    sp.flight_k_pieces = 2
+    sp.step(1)
+
+    single = _split_single(
+        cfg, [], [sp.rows * k for k in range(1, sp.nshards)], 1)
+    a, b = single.step_metrics[0], sp.step_metrics[0]
+    assert (a.nfacets, a.ncollisions) == (b.nfacets, b.ncollisions)
+    s1 = np.asarray(single.tally, np.float64).sum()
+    s2 = np.asarray(sp.tally, np.float64).sum()
+    assert abs(s1 - s2) / abs(s1) < 1e-6
+
+
+@pytest.mark.slow
+def test_sharded_flight_fused_interpret_matches_single():
+    """Fused-Mosaic replicated flight (interpret) == single-device XLA
+    flight: the unified mixin path with no window and no migration."""
+    from neutral_tpu.parallel import ShardedSimulation
+
+    cfg = _f32_stream_cfg()
+    sh = ShardedSimulation(cfg, quiet=True)
+    assert sh.use_flight
+    sh.flight_fused_interpret = True
+    sh.flight_max_calls = 2
+    sh.flight_k_pieces = 2
+    sh.step(1)
+
+    single = Simulation(cfg, quiet=True)
+    single.step(1)
+    a, b = single.step_metrics[0], sh.step_metrics[0]
+    assert (a.nfacets, a.ncollisions) == (b.nfacets, b.ncollisions)
+    s1 = np.asarray(single.tally, np.float64).sum()
+    s2 = np.asarray(sh.tally, np.float64).sum()
+    assert abs(s1 - s2) / abs(s1) < 1e-6
