@@ -418,7 +418,23 @@ class Simulation(SimulationBase):
             from .pallas_sweep import (drain_rings, make_rings,
                                        pallas_sweep_chunk)
 
+        import os
+        import time as _time
+        dbg = bool(os.environ.get("NEUTRAL_TPU_DEBUG_PHASES"))
+        phases = {"begin": 0.0, "sweep": 0.0, "compact": 0.0,
+                  "ringdrain": 0.0}
+
+        def _sync(x):
+            if dbg:
+                jax.block_until_ready(x)
+                # block_until_ready is a no-op through the axon tunnel;
+                # a tiny host read is the only reliable sync there.
+                np.asarray(jax.device_get(
+                    jax.tree_util.tree_leaves(x)[0]).ravel()[:1])
+            return x
+
         self.profile.start()
+        t0 = _time.perf_counter()
         master_key = jnp.uint32(tt)
         full = begin_timestep(self.state, self.mesh, self.geom,
                               self.cs_scatter, self.cfg.dt, master_key)
@@ -426,6 +442,9 @@ class Simulation(SimulationBase):
         counts = EventCounts.zeros()
         nsweeps = 0
         inv_ntotal = 1.0 / self.cfg.nparticles
+        if dbg:
+            _sync(full.x)
+        phases["begin"] += _time.perf_counter() - t0
 
         # Live-lane compaction: when most lanes have finished their census
         # (long-tail problems like csp), shrink the working set to the next
@@ -444,6 +463,7 @@ class Simulation(SimulationBase):
             # far quicker than 256 sweeps at full width).
             max_sw = (self.chunk_sweeps if part.n > 262144
                       else self.chunk_sweeps * 8)
+            tc = _time.perf_counter()
             if use_pallas:
                 (part, self.tally, counts, rc, rv, rn, done,
                  any_live) = pallas_sweep_chunk(
@@ -461,10 +481,17 @@ class Simulation(SimulationBase):
                 # chunk inputs are donated; keep `full` pointing at live
                 # buffers (it aliases `part` until the first compaction)
                 full = part
-            if not bool(any_live):
+            alive = bool(any_live)   # syncs on the chunk (host chaining)
+            phases["sweep"] += _time.perf_counter() - tc
+            if dbg:
+                dt_chunk = _time.perf_counter() - tc
+                print(f"[ring] n={part.n} chunk={dt_chunk:.3f}s "
+                      f"sweeps={int(done)}", flush=True)
+            if not alive:
                 break
             cap = part.n
             if self.compact_enabled and cap > min_cap:
+                tc = _time.perf_counter()
                 live = int(live_count(part))
                 target = max(min_cap, 1 << (max(live, 1) - 1).bit_length())
                 # Each new size is a separate XLA executable (disk-cached
@@ -473,8 +500,12 @@ class Simulation(SimulationBase):
                 if target <= cap // 2:
                     if use_pallas:
                         # Rings are lane-indexed: flush before reordering.
+                        td = _time.perf_counter()
                         self.tally, rc, rv, rn = drain_rings(
                             self.tally, rc, rv, rn)
+                        if dbg:
+                            _sync(self.tally)
+                        phases["ringdrain"] += _time.perf_counter() - td
                     if sel is not None:
                         full = merge_compacted(full, part, sel)
                     else:
@@ -482,8 +513,15 @@ class Simulation(SimulationBase):
                     part, sel = select_working(full, target)
                     if use_pallas:
                         rc, rv, rn = make_rings(target, self.tally.dtype)
+                    if dbg:
+                        _sync(part.x)
+                phases["compact"] += _time.perf_counter() - tc
         if use_pallas:
+            td = _time.perf_counter()
             self.tally, rc, rv, rn = drain_rings(self.tally, rc, rv, rn)
+            if dbg:
+                _sync(self.tally)
+            phases["ringdrain"] += _time.perf_counter() - td
         if sel is not None:
             full = merge_compacted(full, part, sel)
         else:
@@ -494,7 +532,7 @@ class Simulation(SimulationBase):
         nf, nc = counts.totals()
         m = StepMetrics(step=tt, step_time=step_time, nfacets=nf,
                         ncollisions=nc, nprocessed=int(nprocessed),
-                        nsweeps=int(nsweeps))
+                        nsweeps=int(nsweeps), phases=phases)
         self.step_metrics.append(m)
         return m
 

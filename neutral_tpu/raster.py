@@ -160,11 +160,20 @@ def expand_pairs(segbuf, nseg, *, tile: int, ntx: int, nty: int,
 
 def _raster_kernel(ntx, tsz, offs_ref, pair_hbm, buf_in, buf_out,
                    scratch, sems):
+    """Deposit sorted (segment x tile) pairs into the resident tile.
+
+    Per-pair math is the clipped-overlap formula in AFFINE form: the
+    expansion precomputes (ax, bxlo, bxhi, ay, bylo, byhi, kk) per pair
+    (tile offset folded in) so the per-axis entry/exit times are single
+    fused multiply-adds — tlo_ax = v*a + blo, thi_ax = v*a + bhi — and
+    the 0/1 clamps fold into the LANE side only (min/max distribute over
+    the clamp), leaving just two column-vector ops per pair.  Mosaic
+    materializes column ops as full-width VREGs, so this halves the
+    kernel's per-pair cost vs the naive 6-column-op form.
+    """
     g = pl.program_id(0) * ntx + pl.program_id(1)
     base = offs_ref[g]
     end = offs_ref[g + 1]
-    tx0 = (pl.program_id(1) * tsz).astype(jnp.float32)
-    ty0 = (pl.program_id(0) * tsz).astype(jnp.float32)
 
     colv = lax.broadcasted_iota(jnp.int32, (1, tsz), 1).astype(jnp.float32)
     rowv = lax.broadcasted_iota(jnp.int32, (tsz, 1), 0).astype(jnp.float32)
@@ -198,23 +207,22 @@ def _raster_kernel(ntx, tsz, offs_ref, pair_hbm, buf_in, buf_out,
         p_hi = jnp.minimum(end - cstart, _CHUNK)
 
         def inner(p, acc):
-            gx0 = scratch[slot, 0, p] - tx0
-            gy0 = scratch[slot, 1, p] - ty0
-            ivx = scratch[slot, 2, p]
-            ivy = scratch[slot, 3, p]
-            kk = scratch[slot, 4, p]
+            ax = scratch[slot, 0, p]
+            bxlo = scratch[slot, 1, p]
+            bxhi = scratch[slot, 2, p]
+            ay = scratch[slot, 3, p]
+            bylo = scratch[slot, 4, p]
+            byhi = scratch[slot, 5, p]
+            kk = scratch[slot, 6, p]
             one = jnp.float32(1.0)
             zero = jnp.float32(0.0)
-            t1 = (colv - gx0) * ivx
-            t2 = t1 + ivx
-            txin = jnp.clip(jnp.minimum(t1, t2), zero, one)
-            txout = jnp.clip(jnp.maximum(t1, t2), zero, one)
-            t3 = (rowv - gy0) * ivy
-            t4 = t3 + ivy
-            tyin = jnp.clip(jnp.minimum(t3, t4), zero, one)
-            tyout = jnp.clip(jnp.maximum(t3, t4), zero, one)
-            tin = jnp.maximum(txin, tyin)
-            tout = jnp.minimum(txout, tyout)
+            txm = colv * ax
+            tx_lo = jnp.maximum(txm + bxlo, zero)   # lane ops (cheap)
+            tx_hi = jnp.minimum(txm + bxhi, one)
+            ty_lo = rowv * ay + bylo                # 2 column ops total
+            ty_hi = rowv * ay + byhi
+            tin = jnp.maximum(tx_lo, ty_lo)
+            tout = jnp.minimum(tx_hi, ty_hi)
             ll = jnp.maximum(tout - tin, zero)
             return acc + kk * ll
 
@@ -223,12 +231,17 @@ def _raster_kernel(ntx, tsz, offs_ref, pair_hbm, buf_in, buf_out,
     buf_out[:] = lax.fori_loop(c0, c1, outer, buf_in[:])
 
 
-def _pair_fields(segbuf, seg_idx):
-    """(8, pair_cap) f32 pair rows in sorted order, safe reciprocals.
+def _pair_fields(segbuf, seg_idx, key, *, tile, ntx):
+    """(8, pair_cap) f32 AFFINE pair constants in sorted order.
 
-    ivx/ivy are inverse segment extents in cell units; exact zeros are
-    nudged so 0 * inv stays finite (the overlap clips saturate correctly
-    for axis-parallel segments).
+    Per pair the kernel evaluates the axis entry/exit times as single
+    fused multiply-adds: t_lo = v*a + b_lo, t_hi = v*a + b_hi with the
+    pair's tile origin folded into b (so the kernel needs no per-tile
+    shifts).  min(t1, t1+iv) = t1 + min(iv, 0) collapses the per-axis
+    min/max to precomputed offsets.  ivx/ivy are inverse segment extents
+    in cell units; exact zeros are nudged so 0 * inv stays finite (the
+    overlap clips saturate correctly for axis-parallel segments).
+    Fields: [ax, bxlo, bxhi, ay, bylo, byhi, kk, 0].
     """
     rows = segbuf[jnp.clip(seg_idx, 0, segbuf.shape[0] - 1)]
     gx0 = rows[:, 0]
@@ -241,8 +254,19 @@ def _pair_fields(segbuf, seg_idx):
     ivy = 1.0 / jnp.where(jnp.abs(dgy) < tiny,
                           jnp.where(dgy < 0, -tiny, tiny), dgy)
     kk = rows[:, 4]
+    f32 = jnp.float32
+    tx0 = ((key % ntx) * tile).astype(f32)
+    ty0 = ((key // ntx) * tile).astype(f32)
     zero = jnp.zeros_like(gx0)
-    return jnp.stack([gx0, gy0, ivx, ivy, kk, zero, zero, zero], axis=0)
+    bx = (tx0 - gx0) * ivx
+    by = (ty0 - gy0) * ivy
+    return jnp.stack([ivx,
+                      bx + jnp.minimum(ivx, zero),
+                      bx + jnp.maximum(ivx, zero),
+                      ivy,
+                      by + jnp.minimum(ivy, zero),
+                      by + jnp.maximum(ivy, zero),
+                      kk, zero], axis=0)
 
 
 def raster_drain_impl(buf, segbuf, nseg, *, tile: int = TILE, ntx: int,
@@ -250,7 +274,7 @@ def raster_drain_impl(buf, segbuf, nseg, *, tile: int = TILE, ntx: int,
     """Unjitted raster drain (shard_map-composable); see raster_drain."""
     key, seg_idx, offsets = expand_pairs(segbuf, nseg, tile=tile, ntx=ntx,
                                          nty=nty, pair_cap=pair_cap)
-    pair_data = _pair_fields(segbuf, seg_idx)
+    pair_data = _pair_fields(segbuf, seg_idx, key, tile=tile, ntx=ntx)
     out = pl.pallas_call(
         partial(_raster_kernel, ntx, tile),
         grid_spec=pltpu.PrefetchScalarGridSpec(
