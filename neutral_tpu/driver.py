@@ -661,7 +661,8 @@ class Simulation(SimulationBase):
                                     pallas_flight_chunk)
         from .pallas_sweep import drain_rings, make_rings
         from .particles import live_count, merge_compacted, select_working
-        from .raster import TILE, grid_shape, raster_drain
+        from .raster import (TILE, grid_shape, raster_drain,
+                             rasterize_walk, walker_fits)
         from .transport import EventCounts, begin_timestep
 
         cfg = self.cfg
@@ -676,16 +677,22 @@ class Simulation(SimulationBase):
 
         nty, ntx = grid_shape(cfg.nx, cfg.ny, TILE)
         SCAP = self.flight_seg_cap
-        PCAP = self.flight_pair_cap
-        # Tiered expansion: the raster's sort/cumsum machinery is
-        # statically shaped by pair_cap, so draining a lightly-filled
-        # buffer through the full-size expansion wastes ~1s.
-        TIERS = [1 << 20, 1 << 22, PCAP]
+        # VMEM-resident segment walker: no pair expansion, so the pair
+        # budget is effectively unbounded and drains are gated by the
+        # segment-row capacity alone.  Falls back to the tiered
+        # sorted-pair pipeline on meshes too big for VMEM residency.
+        use_walker = walker_fits(ntx, nty)
+        PCAP = (1 << 30) if use_walker else self.flight_pair_cap
+        TIERS = [1 << 20, 1 << 22, self.flight_pair_cap]
         tally_dt = self.tally.dtype
 
         def raster(rb, sb, nseg, npairs):
             if nseg == 0:
                 return rb
+            if use_walker:
+                return rasterize_walk(rb, sb, jnp.int32(nseg), tile=TILE,
+                                      ntx=ntx, nty=nty,
+                                      interpret=interpret)
             cap = next(c for c in TIERS if npairs <= c)
             return raster_drain(rb, sb, jnp.int32(nseg), tile=TILE,
                                 ntx=ntx, nty=nty, pair_cap=cap,

@@ -422,10 +422,10 @@ def pallas_flight_chunk(state: ParticleState, tally, counts: EventCounts,
                         master_key, inv_ntotal: float, max_calls: int,
                         k_pieces: int = 8, tile: int = 128,
                         pair_cap: int = 8 * 1024 * 1024,
-                        interpret: bool = False):
+                        interpret: bool = False, x_off=None, y_off=None):
     """Jitted single-device wrapper of pallas_flight_chunk_impl."""
     return pallas_flight_chunk_impl(
         state, tally, counts, fc, fv, fn, sfields, sn, segbuf, sbase,
         spairs, scatter_tab, absorb_tab, geom, master_key, inv_ntotal,
         max_calls, k_pieces=k_pieces, tile=tile, pair_cap=pair_cap,
-        interpret=interpret)
+        interpret=interpret, x_off=x_off, y_off=y_off)

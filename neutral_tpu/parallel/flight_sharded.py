@@ -71,24 +71,34 @@ def drain_flushes_sharded(tally_parts, fbuf_cell, fbuf_val, fcnt_rows,
 
 @partial(jax.jit,
          static_argnames=("mesh_axes", "tile", "ntx", "nty", "pair_cap",
-                          "nx", "ny", "use_pallas_raster", "interpret"),
+                          "nx", "ny", "use_pallas_raster", "use_walker",
+                          "interpret"),
          donate_argnums=(0,))
 def raster_drain_sharded(rbufs, segbuf, scnt_rows, mesh_axes: Mesh, *,
                          tile: int, ntx: int, nty: int, pair_cap: int,
                          nx: int, ny: int, use_pallas_raster: bool,
+                         use_walker: bool = False,
                          interpret: bool = False):
     """Rasterize each shard's segment batch into its private buffer.
 
-    rbufs: (nshards, nty*tile, ntx*tile) f32 on the Mosaic path, or
-    (nshards, nx*ny) tally-dtype flats on the XLA DDA fallback (CPU).
-    In spatial mode the buffers cover each shard's BLOCK (nx/ny/ntx/nty
-    are block extents and segments are window-local).
+    rbufs: (nshards, nty*tile, ntx*tile) f32 on the Mosaic paths
+    (use_walker selects the VMEM-resident segment walker over the
+    sorted-pair pipeline), or (nshards, nx*ny) tally-dtype flats on the
+    XLA DDA fallback (CPU).  In spatial mode the buffers cover each
+    shard's BLOCK (nx/ny/ntx/nty are block extents and segments are
+    window-local).
     """
+    from ..raster import rasterize_walk_impl
+
     axis = mesh_axes.axis_names
     axis = axis[0] if len(axis) == 1 else axis
 
     def shard_fn(rb, sb, cnt):
-        if use_pallas_raster:
+        if use_walker:
+            out = rasterize_walk_impl(rb[0], sb, cnt[0], tile=tile,
+                                      ntx=ntx, nty=nty,
+                                      interpret=interpret)
+        elif use_pallas_raster:
             out = raster_drain_impl(rb[0], sb, cnt[0], tile=tile, ntx=ntx,
                                     nty=nty, pair_cap=pair_cap,
                                     interpret=interpret)
@@ -254,10 +264,14 @@ class FlightDecomposedMixin:
         from ..pallas_sweep import _drain_rings
         from ..raster import TILE
 
+        from ..raster import TILE as _T, grid_shape, walker_fits
+
         axes = self._axes_names()
         spec = _state_spec(axes)
         nshards = self.nshards
-        PCAP = max(self.flight_pair_cap // nshards, 65536)
+        _nty, _ntx = grid_shape(self.geom.nx, self.geom.ny, _T)
+        PCAP = ((1 << 30) if walker_fits(_ntx, _nty)
+                else max(self.flight_pair_cap // nshards, 65536))
         geom = self.geom
         per_shard = state.x.shape[0] // nshards
         big = per_shard > 262144
@@ -354,12 +368,14 @@ class FlightDecomposedMixin:
         axes = self._axes_names()
         bx, by = self.geom.nx, self.geom.ny      # shard block extent
         nty, ntx = grid_shape(bx, by, TILE)
+        from ..raster import walker_fits
         use_fused = ((jax.default_backend() == "tpu"
                       and self.dtype == jnp.dtype(jnp.float32))
                      or getattr(self, "flight_fused_interpret", False))
         use_pallas_raster = (jax.default_backend() == "tpu"
                              or getattr(self, "flight_fused_interpret",
                                         False))
+        use_walker = use_pallas_raster and walker_fits(ntx, nty)
         FCAP = max(self.flight_flush_cap // nshards, 8192)
         SCAP = max(self.flight_seg_cap // nshards, 4096)
         PCAP = max(self.flight_pair_cap // nshards, 65536)
@@ -415,12 +431,12 @@ class FlightDecomposedMixin:
                     self.device_mesh)
             if scnt_max > 0:
                 pcap = (next(c for c in TIERS if int(sp_max) <= c)
-                        if use_fused else PCAP)
+                        if use_fused and not use_walker else PCAP)
                 rbufs = raster_drain_sharded(
                     rbufs, segbuf, scnt_rows, self.device_mesh, tile=TILE,
                     ntx=ntx, nty=nty, pair_cap=pcap, nx=bx, ny=by,
                     use_pallas_raster=use_pallas_raster,
-                    interpret=interp)
+                    use_walker=use_walker, interpret=interp)
             phases["sweep"] += t1 - t0
             phases["drain"] += _time.perf_counter() - t1
             if int(err) and int(ringleft) == 0:

@@ -315,6 +315,208 @@ def raster_drain(buf, segbuf, nseg, *, tile: int = TILE, ntx: int,
 
 
 # ---------------------------------------------------------------------------
+# VMEM-resident segment walker: rasterize with NO pair expansion
+# ---------------------------------------------------------------------------
+#
+# On v5e the whole padded tally buffer of a 4000^2 mesh (67 MB f32) fits
+# in VMEM.  This kernel keeps it resident and walks each segment across
+# its tiles with a scalar DDA, depositing into dynamically-sliced
+# (tile, tile) windows (sublane offsets are tile-aligned, which Mosaic
+# supports).  Grid steps are sequential on a TensorCore, so read-modify-
+# write needs no atomics.  Compared to the sorted-pair pipeline this
+# removes the expansion entirely — the marker/cumsum machinery, two
+# ~10 ns/elem gathers and the sort cost more than the kernel itself —
+# at the price of one dynamic-slice load/store per (segment, tile) visit.
+
+def _walk_kernel(ntx, nty, tsz, ns_ref, seg_hbm, buf_in, buf_out,
+                 acc_vmem, scratch, sems, buf_sem):
+    nseg = ns_ref[0]
+    # The accumulator lives in VMEM *scratch* (an aliased in/out VMEM
+    # window would be allocated twice and overflow VMEM); explicit
+    # HBM->VMEM->HBM copies bracket the walk (~67 MB ≈ 0.1 ms each).
+    pltpu.make_async_copy(buf_in, acc_vmem, buf_sem).start()
+    pltpu.make_async_copy(buf_in, acc_vmem, buf_sem).wait()
+    colv = lax.broadcasted_iota(jnp.int32, (1, tsz), 1).astype(jnp.float32)
+    rowv = lax.broadcasted_iota(jnp.int32, (tsz, 1), 0).astype(jnp.float32)
+    chunk = jnp.asarray(_CHUNK, nseg.dtype)
+    c1 = lax.div(nseg + (chunk - 1), chunk)
+
+    def get_dma(slot, ci):
+        off = pl.multiple_of(ci * _CHUNK, _CHUNK)
+        return pltpu.make_async_copy(
+            seg_hbm.at[:, pl.ds(off, _CHUNK)],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(c1 > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    f32 = jnp.float32
+    i32 = jnp.int32
+    zero = f32(0.0)
+    one = f32(1.0)
+    tszf = f32(tsz)
+    inv_tsz = f32(1.0 / tsz)
+    tiny = f32(1.0e-12)
+    big = f32(_BIG)
+
+    def outer(ci, _):
+        slot = ci % 2
+
+        @pl.when(ci + 1 < c1)
+        def _():
+            get_dma((ci + 1) % 2, ci + 1).start()
+
+        get_dma(slot, ci).wait()
+        p_hi = jnp.minimum(nseg - ci * _CHUNK, _CHUNK)
+
+        def per_seg(p, _):
+            gx0 = scratch[slot, 0, p]
+            gy0 = scratch[slot, 1, p]
+            gx1 = scratch[slot, 2, p]
+            gy1 = scratch[slot, 3, p]
+            kk = scratch[slot, 4, p]
+
+            dgx = gx1 - gx0
+            dgy = gy1 - gy0
+            sx = jnp.where(dgx >= zero, i32(1), i32(-1))
+            sy = jnp.where(dgy >= zero, i32(1), i32(-1))
+            ivx = one / jnp.where(jnp.abs(dgx) < tiny,
+                                  jnp.where(dgx < 0, -tiny, tiny), dgx)
+            ivy = one / jnp.where(jnp.abs(dgy) < tiny,
+                                  jnp.where(dgy < 0, -tiny, tiny), dgy)
+
+            def cfloor(u, n):
+                return jnp.clip(jnp.floor(u).astype(i32), 0, n - 1)
+
+            tx = cfloor(gx0 * inv_tsz, ntx)
+            ty = cfloor(gy0 * inv_tsz, nty)
+            txe = cfloor(gx1 * inv_tsz, ntx)
+            tye = cfloor(gy1 * inv_tsz, nty)
+            m = jnp.abs(txe - tx) + jnp.abs(tye - ty)
+
+            # t of the next x / y tile-boundary crossing, and increments
+            # (all in the segment's affine t parameter).
+            hx = jnp.abs(tszf * ivx)
+            hy = jnp.abs(tszf * ivy)
+            bx1 = jnp.where(sx > 0, tx + 1, tx).astype(f32) * tszf
+            by1 = jnp.where(sy > 0, ty + 1, ty).astype(f32) * tszf
+            t_nx = jnp.where(txe == tx, big, (bx1 - gx0) * ivx)
+            t_ny = jnp.where(tye == ty, big, (by1 - gy0) * ivy)
+
+            def visit(carry):
+                tx, ty, t_nx, t_ny = carry
+                # per-tile affine constants (scalar)
+                bx = (tx.astype(f32) * tszf - gx0) * ivx
+                by = (ty.astype(f32) * tszf - gy0) * ivy
+                bxlo = bx + jnp.minimum(ivx, zero)
+                bxhi = bx + jnp.maximum(ivx, zero)
+                bylo = by + jnp.minimum(ivy, zero)
+                byhi = by + jnp.maximum(ivy, zero)
+                txm = colv * ivx
+                tx_lo = jnp.maximum(txm + bxlo, zero)
+                tx_hi = jnp.minimum(txm + bxhi, one)
+                ty_lo = rowv * ivy + bylo
+                ty_hi = rowv * ivy + byhi
+                tin = jnp.maximum(tx_lo, ty_lo)
+                tout = jnp.minimum(tx_hi, ty_hi)
+                ll = jnp.maximum(tout - tin, zero)
+                ry = pl.multiple_of(ty * tsz, tsz)
+                rx = pl.multiple_of(tx * tsz, tsz)
+                cur = acc_vmem[pl.ds(ry, tsz), pl.ds(rx, tsz)]
+                acc_vmem[pl.ds(ry, tsz), pl.ds(rx, tsz)] = cur + kk * ll
+
+            def step(i, carry):
+                tx, ty, t_nx, t_ny = carry
+                visit(carry)
+                go_x = t_nx <= t_ny
+                tx = jnp.where(go_x, tx + sx, tx)
+                ty = jnp.where(go_x, ty, ty + sy)
+                t_nx = jnp.where(go_x, t_nx + hx, t_nx)
+                t_ny = jnp.where(go_x, t_ny, t_ny + hy)
+                return tx, ty, t_nx, t_ny
+
+            @pl.when(kk != zero)
+            def _():
+                carry = lax.fori_loop(0, m, step, (tx, ty, t_nx, t_ny))
+                visit(carry)  # final tile
+
+            return 0
+
+        lax.fori_loop(0, p_hi, per_seg, 0)
+        return 0
+
+    lax.fori_loop(0, c1, outer, 0)
+    pltpu.make_async_copy(acc_vmem, buf_out, buf_sem).start()
+    pltpu.make_async_copy(acc_vmem, buf_out, buf_sem).wait()
+
+
+def rasterize_walk_impl(buf, segbuf, nseg, *, tile: int = TILE, ntx: int,
+                        nty: int, interpret: bool = False):
+    """Walker-kernel raster drain (unjitted; see rasterize_walk).
+
+    segbuf rows [gx0, gy0, gx1, gy1, kk, ...] in cell units; rows at
+    index >= nseg (or with kk == 0) are skipped.  buf must be the padded
+    (nty*tile, ntx*tile) f32 accumulation buffer — the whole buffer is
+    VMEM-resident during the call, so nty*tile*ntx*tile*4 bytes must fit
+    (~67 MB for a 4000^2 mesh on v5e's 128 MB VMEM).
+    """
+    scap = segbuf.shape[0]
+    # (8, SCAP) planes so the SMEM chunk DMA is 128-lane aligned; zero
+    # the kk plane past nseg (the kernel's skip sentinel).  Pad to a
+    # whole number of DMA chunks.
+    planes = segbuf.T
+    planes = planes.at[4].set(
+        jnp.where(jnp.arange(scap) < nseg, planes[4], 0.0))
+    pad = (-scap) % _CHUNK
+    if pad:
+        planes = jnp.concatenate(
+            [planes, jnp.zeros((8, pad), planes.dtype)], axis=1)
+    out = pl.pallas_call(
+        partial(_walk_kernel, ntx, nty, tile),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            scratch_shapes=[
+                pltpu.VMEM((nty * tile, ntx * tile), jnp.float32),
+                pltpu.SMEM((2, 8, _CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nty * tile, ntx * tile),
+                                       jnp.float32),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+    )(jnp.asarray(nseg, jnp.int32).reshape(1), planes, buf)
+    return out
+
+
+@partial(jax.jit, static_argnames=("tile", "ntx", "nty", "interpret"),
+         donate_argnums=(0,))
+def rasterize_walk(buf, segbuf, nseg, *, tile: int = TILE, ntx: int,
+                   nty: int, interpret: bool = False):
+    """Deposit `nseg` buffered segments via the VMEM-resident walker."""
+    return rasterize_walk_impl(buf, segbuf, nseg, tile=tile, ntx=ntx,
+                               nty=nty, interpret=interpret)
+
+
+def walker_fits(ntx: int, nty: int, tile: int = TILE,
+                budget_bytes: int = 100 * 1024 * 1024) -> bool:
+    """Whether the padded buffer fits the walker's VMEM residency."""
+    return nty * tile * ntx * tile * 4 <= budget_bytes
+
+
+# ---------------------------------------------------------------------------
 # Pure-XLA fallbacks (CPU path / test oracles)
 # ---------------------------------------------------------------------------
 

@@ -171,6 +171,40 @@ def test_raster_drain_interpret_matches_ref():
     np.testing.assert_allclose(np.asarray(out), want, rtol=2e-4, atol=1e-5)
 
 
+def test_rasterize_walk_interpret_matches_ref():
+    """VMEM-resident segment walker == per-cell overlap oracle,
+    including garbage rows past nseg and axis-parallel/degenerate
+    segments."""
+    rng = np.random.default_rng(13)
+    tile, ntx, nty = 8, 4, 3
+    nx, ny = tile * ntx, tile * nty
+    n = 23
+    segs = np.zeros((32, 8), np.float32)
+    segs[:n] = _random_segs(rng, n, nx, ny).astype(np.float32)
+    segs[n:] = rng.uniform(0, nx, (32 - n, 8))  # must be ignored
+    out = raster.rasterize_walk(jnp.zeros((ny, nx), jnp.float32),
+                                jnp.asarray(segs), jnp.int32(n),
+                                tile=tile, ntx=ntx, nty=nty,
+                                interpret=True)
+    want = raster.rasterize_ref(np.zeros((ny, nx)),
+                                segs[:n, :5].astype(np.float64))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-4, atol=1e-5)
+
+    edge = np.zeros((8, 8), np.float32)
+    edge[0] = [2.0, 3.0, 29.0, 3.0, 1.0, 0, 0, 0]    # horizontal
+    edge[1] = [5.0, 0.5, 5.0, 23.5, 2.0, 0, 0, 0]    # vertical
+    edge[2] = [4.0, 4.0, 4.0, 4.0, 3.0, 0, 0, 0]     # zero-length
+    edge[3] = [0.0, 0.0, 32.0, 24.0, 1.5, 0, 0, 0]   # full diagonal
+    out2 = raster.rasterize_walk(jnp.zeros((ny, nx), jnp.float32),
+                                 jnp.asarray(edge), jnp.int32(4),
+                                 tile=tile, ntx=ntx, nty=nty,
+                                 interpret=True)
+    want2 = raster.rasterize_ref(np.zeros((ny, nx)),
+                                 edge[:4, :5].astype(np.float64))
+    np.testing.assert_allclose(np.asarray(out2), want2, rtol=2e-4,
+                               atol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # flight engine vs the facet-stepping engine (driver level, f64)
 # ---------------------------------------------------------------------------
