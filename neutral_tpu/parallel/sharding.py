@@ -278,10 +278,16 @@ def merge_compacted_sharded(full: ParticleState, part: ParticleState,
 @partial(jax.jit, static_argnames=("mesh_axes",))
 def drain_rings_sharded(tally_parts, ring_cell, ring_val, ring_cnt,
                         mesh_axes: Mesh):
-    """Flush every shard's pending ring into its private tally row."""
+    """Flush every shard's pending ring into its private tally row.
+
+    Works on 1D and 2D device meshes (lane/row dims sharded jointly
+    over all axes) — the spatial decompositions carry persistent rings
+    across chunks and drain through this.
+    """
     from ..pallas_sweep import drain_rings
 
-    axis = mesh_axes.axis_names[0]
+    axis = mesh_axes.axis_names
+    axis = axis[0] if len(axis) == 1 else axis
 
     def shard_fn(t_row, rc, rv, rn):
         t, rc, rv, rn = drain_rings(t_row[0], rc, rv, rn)

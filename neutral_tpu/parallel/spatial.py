@@ -262,24 +262,31 @@ class SpatialSimulation(FlightDecomposedMixin,
         return fn(state, dens_parts)
 
     @partial(jax.jit, static_argnames=("self",))
-    def _chunk(self, state, tally_parts, dens_parts, mk):
+    def _chunk(self, state, tally_parts, dens_parts, rings, mk):
+        """One bounded sweep chunk + migration round per shard.
+
+        `rings` (pallas path only, else None) are the PERSISTENT
+        pending-flush rings: entries are anonymous — they carry
+        shard-local cell indices, so migrating the lane that wrote them
+        leaves them valid — and therefore survive migration untouched;
+        the caller drains only before lane reorders (compaction /
+        repartition) and at step end.
+        """
         axis = self.axis
         rows = self.rows
 
-        def shard_fn(s, t_row, d_row):
+        def shard_fn(s, t_row, d_row, rg):
             y_off = (lax.axis_index(axis) * rows).astype(jnp.int32)
             if self.use_pallas:
-                from ..pallas_sweep import (drain_rings, make_rings,
-                                            pallas_sweep_chunk)
-                rc, rv, rn = make_rings(s.x.shape[0], t_row.dtype)
+                from ..pallas_sweep import pallas_sweep_chunk
+                rc, rv, rn = rg
                 (s, t, c, rc, rv, rn, nsweeps, _) = pallas_sweep_chunk(
                     s, t_row[0], EventCounts.zeros(), rc, rv, rn,
                     self.cs_scatter, self.cs_absorb, self.geom, mk,
                     1.0 / self.cfg.nparticles, self.chunk_sweeps,
                     k_events=self.k_events, y_off=y_off,
                     interpret=getattr(self, "pallas_interpret", False))
-                # Rings are lane-indexed: flush before lanes migrate.
-                t, rc, rv, rn = drain_rings(t, rc, rv, rn)
+                rg = (rc, rv, rn)
             else:
                 s, t, c, nsweeps, _ = transport.sweep_chunk(
                     s, t_row[0], EventCounts.zeros(),
@@ -302,15 +309,18 @@ class SpatialSimulation(FlightDecomposedMixin,
             nsweeps = lax.pmax(nsweeps, axis)
             c_row = jnp.stack([c.nfacets_hi, c.nfacets_lo,
                                c.ncollisions_hi, c.ncollisions_lo])[None, :]
-            return s, t[None, :], c_row, nsweeps, work, err
+            return s, t[None, :], c_row, rg, nsweeps, work, err
 
+        ring_spec = (None if rings is None else
+                     (P(None, axis), P(None, axis), P(axis)))
         fn = shard_map(
             shard_fn, mesh=self.device_mesh,
-            in_specs=(_state_spec(axis), P(axis, None), P(axis, None)),
+            in_specs=(_state_spec(axis), P(axis, None), P(axis, None),
+                      ring_spec),
             out_specs=(_state_spec(axis), P(axis, None), P(axis, None),
-                       P(), P(), P()),
+                       ring_spec, P(), P(), P()),
             check_vma=False)
-        return fn(state, tally_parts, dens_parts)
+        return fn(state, tally_parts, dens_parts, rings)
 
     # ------------------------------------------------------------------
     def _repartition(self, cap: int) -> None:
@@ -355,8 +365,19 @@ class SpatialSimulation(FlightDecomposedMixin,
     def _flight_begin(self, mk):
         return self._begin(self.state, self.density_parts, mk)
 
+    def _fresh_step_rings(self, total: int, S: int = 16):
+        """Empty pending-flush rings sharded alongside `total` lanes."""
+        axes = self._axes_names()
+        col = NamedSharding(self.device_mesh, P(None, axes))
+        lane = NamedSharding(self.device_mesh, P(axes))
+        return (jax.device_put(jnp.full((S, total), -1, jnp.int32), col),
+                jax.device_put(jnp.zeros((S, total),
+                                         self.tally_parts.dtype), col),
+                jax.device_put(jnp.zeros((total,), jnp.int32), lane))
+
     def step(self, tt: int):
-        from .sharding import (max_live_sharded, merge_compacted_sharded,
+        from .sharding import (drain_rings_sharded, max_live_sharded,
+                               merge_compacted_sharded,
                                select_working_padded_sharded)
         if self.use_flight:
             return self._step_flight_decomposed(tt)
@@ -372,10 +393,24 @@ class SpatialSimulation(FlightDecomposedMixin,
         part, sel = self.state, None
         full = part
         min_cap = self.compact_min
+        # Pending-flush rings PERSIST across chunks and migration rounds
+        # (entries are anonymous: shard-local cell indices stay valid no
+        # matter which lane occupies the slot) — drained only before
+        # lane reorders and at step end.
+        rings = (self._fresh_step_rings(part.x.shape[0])
+                 if self.use_pallas else None)
+
+        def drain():
+            nonlocal rings
+            if self.use_pallas:
+                self.tally_parts, rc, rv, rn = drain_rings_sharded(
+                    self.tally_parts, *rings, self.device_mesh)
+                rings = (rc, rv, rn)
+
         while True:
-            (part, self.tally_parts, c_rows, done, work,
+            (part, self.tally_parts, c_rows, rings, done, work,
              err) = self._chunk(part, self.tally_parts,
-                                self.density_parts, mk)
+                                self.density_parts, rings, mk)
             # The chunk's sweeps happened regardless of migration backlog:
             # bank its event counts BEFORE any recovery path.
             dnf, dnc = combine_count_rows(c_rows)
@@ -392,6 +427,7 @@ class SpatialSimulation(FlightDecomposedMixin,
                         f"{grows - 1} capacity doublings — aborting")
                 self._print(f"migration overflow: growing shard capacity "
                             f"{self.cap} -> {2 * self.cap}, repartitioning")
+                drain()   # rings are lane-slot-indexed: empty before reorder
                 if sel is not None:
                     full = merge_compacted_sharded(full, part, sel,
                                                    self.device_mesh)
@@ -399,6 +435,8 @@ class SpatialSimulation(FlightDecomposedMixin,
                 self._repartition(2 * self.cap)
                 part, sel = self.state, None
                 full = part
+                if self.use_pallas:
+                    rings = self._fresh_step_rings(part.x.shape[0])
                 continue
             if int(work) == 0:
                 break
@@ -410,6 +448,7 @@ class SpatialSimulation(FlightDecomposedMixin,
                 target = max(min_cap,
                              2 << (max(live, 1) - 1).bit_length())
                 if target <= per_shard // 2:
+                    drain()
                     if sel is not None:
                         full = merge_compacted_sharded(full, part, sel,
                                                        self.device_mesh)
@@ -417,6 +456,10 @@ class SpatialSimulation(FlightDecomposedMixin,
                         full = part
                     part, sel = select_working_padded_sharded(
                         full, target, self.device_mesh)
+                    if self.use_pallas:
+                        rings = self._fresh_step_rings(
+                            target * self.nshards)
+        drain()
         if sel is not None:
             full = merge_compacted_sharded(full, part, sel,
                                            self.device_mesh)
@@ -681,24 +724,24 @@ class Spatial2DSimulation(SpatialSimulation):
         return fn(state, dens_parts)
 
     @partial(jax.jit, static_argnames=("self",))
-    def _chunk(self, state, tally_parts, dens_parts, mk):
+    def _chunk(self, state, tally_parts, dens_parts, rings, mk):
+        """2D sweep chunk + two-phase migration; rings persist (see 1D)."""
         rows, cols = self.rows, self.cols
         spec = _state_spec(self.axes)
 
-        def shard_fn(s, t_row, d_row):
+        def shard_fn(s, t_row, d_row, rg):
             y_off = (lax.axis_index("py") * rows).astype(jnp.int32)
             x_off = (lax.axis_index("px") * cols).astype(jnp.int32)
             if self.use_pallas:
-                from ..pallas_sweep import (drain_rings, make_rings,
-                                            pallas_sweep_chunk)
-                rc, rv, rn = make_rings(s.x.shape[0], t_row.dtype)
+                from ..pallas_sweep import pallas_sweep_chunk
+                rc, rv, rn = rg
                 (s, t, c, rc, rv, rn, nsweeps, _) = pallas_sweep_chunk(
                     s, t_row[0], EventCounts.zeros(), rc, rv, rn,
                     self.cs_scatter, self.cs_absorb, self.geom, mk,
                     1.0 / self.cfg.nparticles, self.chunk_sweeps,
                     k_events=self.k_events, y_off=y_off, x_off=x_off,
                     interpret=getattr(self, "pallas_interpret", False))
-                t, rc, rv, rn = drain_rings(t, rc, rv, rn)
+                rg = (rc, rv, rn)
             else:
                 s, t, c, nsweeps, _ = transport.sweep_chunk(
                     s, t_row[0], EventCounts.zeros(),
@@ -726,15 +769,19 @@ class Spatial2DSimulation(SpatialSimulation):
             nsweeps = lax.pmax(nsweeps, self.axes)
             c_row = jnp.stack([c.nfacets_hi, c.nfacets_lo,
                                c.ncollisions_hi, c.ncollisions_lo])[None, :]
-            return s, t[None, :], c_row, nsweeps, work, err
+            return s, t[None, :], c_row, rg, nsweeps, work, err
 
+        ring_spec = (None if rings is None else
+                     (P(None, self.axes), P(None, self.axes),
+                      P(self.axes)))
         fn = shard_map(
             shard_fn, mesh=self.device_mesh,
-            in_specs=(spec, P(self.axes, None), P(self.axes, None)),
+            in_specs=(spec, P(self.axes, None), P(self.axes, None),
+                      ring_spec),
             out_specs=(spec, P(self.axes, None), P(self.axes, None),
-                       P(), P(), P()),
+                       ring_spec, P(), P(), P()),
             check_vma=False)
-        return fn(state, tally_parts, dens_parts)
+        return fn(state, tally_parts, dens_parts, rings)
 
     # ------------------------------------------------------------------
     @property

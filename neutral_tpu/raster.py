@@ -434,8 +434,14 @@ def _walk_kernel(ntx, nty, tsz, ns_ref, seg_hbm, buf_in, buf_out,
                 go_x = t_nx <= t_ny
                 tx = jnp.where(go_x, tx + sx, tx)
                 ty = jnp.where(go_x, ty, ty + sy)
-                t_nx = jnp.where(go_x, t_nx + hx, t_nx)
-                t_ny = jnp.where(go_x, t_ny, t_ny + hy)
+                # An axis that reached its end tile is exhausted (BIG):
+                # endpoint-on-boundary rounding must never walk past the
+                # clipped end tile — an OOB store would halt the device.
+                t_nx = jnp.where(go_x,
+                                 jnp.where(tx == txe, big, t_nx + hx),
+                                 t_nx)
+                t_ny = jnp.where(go_x, t_ny,
+                                 jnp.where(ty == tye, big, t_ny + hy))
                 return tx, ty, t_nx, t_ny
 
             @pl.when(kk != zero)

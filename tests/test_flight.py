@@ -195,12 +195,17 @@ def test_rasterize_walk_interpret_matches_ref():
     edge[1] = [5.0, 0.5, 5.0, 23.5, 2.0, 0, 0, 0]    # vertical
     edge[2] = [4.0, 4.0, 4.0, 4.0, 3.0, 0, 0, 0]     # zero-length
     edge[3] = [0.0, 0.0, 32.0, 24.0, 1.5, 0, 0, 0]   # full diagonal
+    # endpoints EXACTLY on tile boundaries (flight pieces end on rect
+    # walls): rounding must not walk the DDA past the clipped end tile
+    edge[4] = [8.0, 8.0, 24.0, 16.0, 1.0, 0, 0, 0]
+    edge[5] = [16.0, 0.0, 16.0, 24.0, 1.0, 0, 0, 0]
+    edge[6] = [0.0, 8.0, 32.0, 8.0, 1.0, 0, 0, 0]
     out2 = raster.rasterize_walk(jnp.zeros((ny, nx), jnp.float32),
-                                 jnp.asarray(edge), jnp.int32(4),
+                                 jnp.asarray(edge), jnp.int32(7),
                                  tile=tile, ntx=ntx, nty=nty,
                                  interpret=True)
     want2 = raster.rasterize_ref(np.zeros((ny, nx)),
-                                 edge[:4, :5].astype(np.float64))
+                                 edge[:7, :5].astype(np.float64))
     np.testing.assert_allclose(np.asarray(out2), want2, rtol=2e-4,
                                atol=1e-5)
 
