@@ -101,15 +101,16 @@ def main() -> None:
     for it in range(6):
         t0 = time.perf_counter()
         (state, tally, c, fc, fv, fn, sf, sn, segbuf, sbase, spairs,
-         done, live) = pallas_flight_chunk(
+         done, live, npend) = pallas_flight_chunk(
             state, tally, EventCounts.zeros(), fc, fv, fn, sf, sn,
             segbuf, z, z, cs_s, cs_a, geom, jnp.uint32(1),
             1.0 / cfg.nparticles, 16, k_pieces=8, tile=TILE,
-            pair_cap=1 << 30, x_off=xo, y_off=yo)
-        nseg = int(sbase)
+            pair_cap=1 << 30, x_off=xo, y_off=yo, use_ring_walker=True)
+        nseg = int(npend)
         if nseg:
-            rbuf = rasterize_walk(rbuf, segbuf, jnp.int32(nseg),
-                                  tile=TILE, ntx=ntx, nty=nty)
+            from neutral_tpu.raster import rasterize_walk_rings
+            rbuf, (sf, sn) = rasterize_walk_rings(
+                rbuf, sf, sn, tile=TILE, ntx=ntx, nty=nty)
         alive = bool(live)
         dt_s = time.perf_counter() - t0
         times.append(dt_s)

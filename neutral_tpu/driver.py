@@ -662,7 +662,8 @@ class Simulation(SimulationBase):
         from .pallas_sweep import drain_rings, make_rings
         from .particles import live_count, merge_compacted, select_working
         from .raster import (TILE, grid_shape, raster_drain,
-                             rasterize_walk, walker_fits)
+                             rasterize_walk, rasterize_walk_rings,
+                             walker_fits)
         from .transport import EventCounts, begin_timestep
 
         cfg = self.cfg
@@ -710,8 +711,33 @@ class Simulation(SimulationBase):
         part, sel = full, None
         min_cap = self.compact_min
         fc, fv, fn = make_rings(part.n, tally_dt, ring_slots=8)
-        sfields, sn = make_seg_ring(part.n, self.dtype)
+        # Ring-direct walker mode drains whole rings per chunk exit:
+        # deeper rings amortize the exits (an extra plane is ~4 B/lane
+        # of HBM and a fraction of a MB of kernel VMEM per block).
+        sfields, sn = make_seg_ring(part.n, self.dtype,
+                                    s_slots=8 if use_walker else 4)
         sbase = spairs = zero_i
+        def drain_segs(rbuf, sfields, sn, npend):
+            """Empty the segment rings into rbuf (ring-direct walker,
+            or the extraction+raster loop on the fallback path)."""
+            nonlocal segbuf
+            if npend <= 0:
+                return rbuf, sfields, sn
+            if use_walker:
+                rbuf, (sfields, sn) = rasterize_walk_rings(
+                    rbuf, sfields, sn, tile=TILE, ntx=ntx, nty=nty,
+                    interpret=interpret)
+                return rbuf, sfields, sn
+            while True:
+                segbuf, sb2, sp2, (sfields, sn), left = \
+                    extract_ring_segments(sfields, sn, segbuf, zero_i,
+                                          zero_i, tile=TILE,
+                                          pair_cap=PCAP)
+                rbuf = raster(rbuf, segbuf, int(sb2), int(sp2))
+                if not bool(left):
+                    break
+            return rbuf, sfields, sn
+
         while True:
             t0 = _time.perf_counter()
             # Small (compacted tail) widths amortize the while-loop's
@@ -720,22 +746,31 @@ class Simulation(SimulationBase):
             max_calls = 32 if big else 128
             k_pieces = 8 if big else 16
             (part, self.tally, counts, fc, fv, fn, sfields, sn, segbuf,
-             sbase, spairs, done, any_live) = pallas_flight_chunk(
+             sbase, spairs, done, any_live,
+             npend) = pallas_flight_chunk(
                 part, self.tally, counts, fc, fv, fn, sfields, sn, segbuf,
                 sbase, spairs, self.cs_scatter, self.cs_absorb, self.geom,
                 master_key, inv_ntotal, max_calls, k_pieces=k_pieces,
-                tile=TILE, pair_cap=PCAP, interpret=interpret)
+                tile=TILE, pair_cap=PCAP, interpret=interpret,
+                use_ring_walker=use_walker)
             nsweeps += int(done)
             if sel is None:
                 full = part
             nseg, npairs = int(sbase), int(spairs)
             t1 = _time.perf_counter()
-            rbuf = raster(rbuf, segbuf, nseg, npairs)
+            if use_walker:
+                # Ring-direct: segments never leave the rings; the chunk
+                # returned because ring pressure stalled progress (or the
+                # census finished) — drain straight from the ring planes.
+                rbuf, sfields, sn = drain_segs(rbuf, sfields, sn,
+                                               int(npend))
+            else:
+                rbuf = raster(rbuf, segbuf, nseg, npairs)
             phases["sweep"] += t1 - t0
             phases["raster"] += _time.perf_counter() - t1
             if dbg:
                 print(f"[flight-fused] n={part.n} chunk={t1 - t0:.2f}s "
-                      f"sbase={nseg} spairs={npairs}", flush=True)
+                      f"sbase={nseg} npend={int(npend)}", flush=True)
             sbase = spairs = zero_i
             if not bool(any_live):
                 break
@@ -759,20 +794,12 @@ class Simulation(SimulationBase):
                             _time.perf_counter() - ta)
                         ta2 = _time.perf_counter()
                     # Lane-indexed rings must be empty before reordering;
-                    # skip the (statically full-width) extraction when
-                    # they already are.
-                    if int(jnp.sum(jnp.minimum(
-                            sn, sfields[0].shape[0]))) > 0:
-                        while True:
-                            (segbuf, sbase, spairs, (sfields, sn),
-                             left) = extract_ring_segments(
-                                sfields, sn, segbuf, zero_i, zero_i,
-                                tile=TILE, pair_cap=PCAP)
-                            rbuf = raster(rbuf, segbuf, int(sbase),
-                                          int(spairs))
-                            sbase = spairs = zero_i
-                            if not bool(left):
-                                break
+                    # skip the (statically full-width) drain when they
+                    # already are (walker mode empties them per chunk).
+                    rbuf, sfields, sn = drain_segs(
+                        rbuf, sfields, sn,
+                        int(jnp.sum(jnp.minimum(sn,
+                                                sfields[0].shape[0]))))
                     if dbg:
                         phases["compact_extract"] = phases.get(
                             "compact_extract", 0.0) + (
@@ -803,15 +830,9 @@ class Simulation(SimulationBase):
         # final ring drains (skipped when the rings emptied in-loop)
         t3 = _time.perf_counter()
         self.tally, fc, fv, fn = drain_rings(self.tally, fc, fv, fn)
-        if int(jnp.sum(jnp.minimum(sn, sfields[0].shape[0]))) > 0:
-            while True:
-                segbuf, sbase, spairs, (sfields, sn), left = \
-                    extract_ring_segments(sfields, sn, segbuf, zero_i,
-                                          zero_i, tile=TILE, pair_cap=PCAP)
-                rbuf = raster(rbuf, segbuf, int(sbase), int(spairs))
-                sbase = spairs = zero_i
-                if not bool(left):
-                    break
+        rbuf, sfields, sn = drain_segs(
+            rbuf, sfields, sn,
+            int(jnp.sum(jnp.minimum(sn, sfields[0].shape[0]))))
         phases["raster"] += _time.perf_counter() - t3
         if sel is not None:
             full = merge_compacted(full, part, sel)
@@ -826,6 +847,10 @@ class Simulation(SimulationBase):
         m = StepMetrics(step=tt, step_time=step_time, nfacets=nf,
                         ncollisions=nc, nprocessed=int(nprocessed),
                         nsweeps=int(nsweeps), phases=phases)
+        if dbg:
+            print("[phases] " + "  ".join(f"{k}={v:.3f}"
+                                          for k, v in phases.items()),
+                  flush=True)
         self.step_metrics.append(m)
         return m
 

@@ -320,16 +320,21 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
                              k_pieces: int = 8, tile: int = 128,
                              pair_cap: int = 8 * 1024 * 1024,
                              interpret: bool = False,
-                             x_off=None, y_off=None):
+                             x_off=None, y_off=None,
+                             use_ring_walker: bool = False):
     """Fused flight chunk: kernel calls + in-loop ring drains.
 
-    Flush rings drain straight into the tally (pallas_sweep._drain_rings);
-    segment rings extract into `segbuf` until it (or the pair budget)
-    fills, at which point the chunk returns so the host can rasterize.
+    Flush rings drain straight into the tally (pallas_sweep._drain_rings).
+    Segment rings either extract into `segbuf` (sorted-pair raster path)
+    until it or the pair budget fills, or — with `use_ring_walker` — stay
+    ring-resident entirely: the chunk just returns when segment-ring
+    pressure stalls progress and the caller feeds the rings straight to
+    raster.rasterize_walk_rings (no extraction scatter, no flat buffer).
     Rings persist across chunks via the caller-owned arrays.
 
     Unjitted (shard_map-composable); `x_off`/`y_off` activate the
     spatial window (out-of-window lanes freeze and don't count as work).
+    Returns (..., ncalls*k_pieces, any_live, nseg_pending).
     """
     from .pallas_sweep import _drain_rings
 
@@ -373,6 +378,25 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
             lambda op: op,
             (t, fc, fv, fn))
 
+        if use_ring_walker:
+            # Segment rings are the caller's: exit when they are the
+            # thing stalling progress (flush rings just drained).  A
+            # ring-full lane just idles its kernel slots, so the exit
+            # threshold is much lazier than the drain cadence — each
+            # exit costs a host round trip plus a full ring scan.
+            seg_paused = jnp.count_nonzero(w & s_full)
+            full = ((seg_paused > jnp.maximum(n // 8, 1))
+                    | (jnp.any(w) & ~jnp.any(w & ~s_full)))
+            nf_hi, nf_lo = u64_sum_u32(nfac, width=2048)
+            fh, fl = rng._add64(c.nfacets_hi, c.nfacets_lo, nf_hi, nf_lo)
+            nc_hi, nc_lo = u64_sum_u32(ncol.astype(jnp.uint32),
+                                       width=2048)
+            ch, cl = rng._add64(c.ncollisions_hi, c.ncollisions_lo,
+                                nc_hi, nc_lo)
+            c = EventCounts(fh, fl, ch, cl)
+            return (s, t, c, fc, fv, fn, sf, sn, sb, base, sp, it + 1,
+                    full)
+
         def extract(op):
             sf, sn, sb, base, sp = op
             sb, base, sp, (sf, sn), left = _extract_segments(
@@ -407,13 +431,14 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
     # Windowed mode: workable lanes on THIS shard (frozen out-of-window
     # lanes are the caller's migration work).
     any_live = jnp.any(working(state))
+    nseg_pending = jnp.sum(jnp.minimum(sn, s_slots), dtype=jnp.int32)
     return (state, tally, counts, fc, fv, fn, sfields, sn, segbuf, sbase,
-            spairs, ncalls * k_pieces, any_live)
+            spairs, ncalls * k_pieces, any_live, nseg_pending)
 
 
 @partial(jax.jit, static_argnames=("geom", "inv_ntotal", "max_calls",
                                    "k_pieces", "tile", "pair_cap",
-                                   "interpret"),
+                                   "interpret", "use_ring_walker"),
          donate_argnums=(0, 1, 3, 4, 5, 6, 7, 8))
 def pallas_flight_chunk(state: ParticleState, tally, counts: EventCounts,
                         fc, fv, fn, sfields, sn, segbuf, sbase, spairs,
@@ -422,10 +447,12 @@ def pallas_flight_chunk(state: ParticleState, tally, counts: EventCounts,
                         master_key, inv_ntotal: float, max_calls: int,
                         k_pieces: int = 8, tile: int = 128,
                         pair_cap: int = 8 * 1024 * 1024,
-                        interpret: bool = False, x_off=None, y_off=None):
+                        interpret: bool = False, x_off=None, y_off=None,
+                        use_ring_walker: bool = False):
     """Jitted single-device wrapper of pallas_flight_chunk_impl."""
     return pallas_flight_chunk_impl(
         state, tally, counts, fc, fv, fn, sfields, sn, segbuf, sbase,
         spairs, scatter_tab, absorb_tab, geom, master_key, inv_ntotal,
         max_calls, k_pieces=k_pieces, tile=tile, pair_cap=pair_cap,
-        interpret=interpret, x_off=x_off, y_off=y_off)
+        interpret=interpret, x_off=x_off, y_off=y_off,
+        use_ring_walker=use_ring_walker)

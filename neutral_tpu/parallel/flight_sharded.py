@@ -244,33 +244,36 @@ class FlightDecomposedMixin:
                 jax.device_put(sn, lane))
 
     @partial(jax.jit, static_argnames=("self",),
-             donate_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
+             donate_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9))
     def _flight_chunk_fused(self, state, tally_parts, fc, fv, fn,
-                            sfields, sn, segbuf, mk):
+                            sfields, sn, segbuf, rbufs, mk):
         """Fused-Mosaic (windowed) flight chunk + migration (TPU path).
 
         Per-lane flush/segment rings persist across chunks (sharded
         alongside the lanes); each chunk ends with a forced ring drain —
-        flushes scatter into the shard's tally row, segments extract into
-        the flat buffer the host rasterizes — then a migration round.
-        Ring entries are anonymous (they carry shard-local cell
-        coordinates), so a husk's pending entries stay valid wherever
-        the lane itself travels.  Returns (state, tally_parts, fc, fv,
-        fn, sfields, sn, segbuf, c_rows, sbase_rows, spairs_max, done,
-        work, err, ringleft).
+        flushes scatter into the shard's tally row, segments go straight
+        from the ring planes into the shard's BLOCK raster buffer via
+        the VMEM-resident walker (rasterize_walk_rings_impl), or extract
+        into the flat buffer for host-side rasterization when the block
+        exceeds VMEM — then a migration round.  Ring entries are
+        anonymous (they carry shard-local cell coordinates), so a husk's
+        pending entries stay valid wherever the lane itself travels.
+        Returns (state, tally_parts, fc, fv, fn, sfields, sn, segbuf,
+        rbufs, c_rows, sbase_rows, spairs_max, done, work, err,
+        ringleft).
         """
         from ..pallas_flight import (_extract_segments,
                                      pallas_flight_chunk_impl)
         from ..pallas_sweep import _drain_rings
-        from ..raster import TILE
-
-        from ..raster import TILE as _T, grid_shape, walker_fits
+        from ..raster import (TILE, grid_shape, rasterize_walk_rings_impl,
+                              walker_fits)
 
         axes = self._axes_names()
         spec = _state_spec(axes)
         nshards = self.nshards
-        _nty, _ntx = grid_shape(self.geom.nx, self.geom.ny, _T)
-        PCAP = ((1 << 30) if walker_fits(_ntx, _nty)
+        _nty, _ntx = grid_shape(self.geom.nx, self.geom.ny, TILE)
+        walker = walker_fits(_ntx, _nty)
+        PCAP = ((1 << 30) if walker
                 else max(self.flight_pair_cap // nshards, 65536))
         geom = self.geom
         per_shard = state.x.shape[0] // nshards
@@ -283,16 +286,16 @@ class FlightDecomposedMixin:
         inv_tile = np.float32(1.0 / TILE)
         s_slots = sfields[0].shape[0]
 
-        def shard_fn(s, t_row, fcr, fvr, fnr, sf, snn, sb):
+        def shard_fn(s, t_row, fcr, fvr, fnr, sf, snn, sb, rb):
             x_off, y_off = self._dyn_offsets()
             z = jnp.zeros((), jnp.int32)
             (s, t, c, fcr, fvr, fnr, sf, snn, sb, sbase, spairs, done,
-             _w) = pallas_flight_chunk_impl(
+             _w, _npend) = pallas_flight_chunk_impl(
                 s, t_row[0], EventCounts.zeros(), fcr, fvr, fnr, sf, snn,
                 sb, z, z, self.cs_scatter, self.cs_absorb, geom, mk,
                 1.0 / self.cfg.nparticles, max_calls, k_pieces=k_pieces,
                 tile=TILE, pair_cap=PCAP, interpret=interpret,
-                x_off=x_off, y_off=y_off)
+                x_off=x_off, y_off=y_off, use_ring_walker=walker)
             # Forced end-of-chunk drain: without it a shard whose lanes
             # all finished would never empty its rings (the in-chunk
             # drain cadence is pause-pressure driven).
@@ -301,17 +304,30 @@ class FlightDecomposedMixin:
                 lambda op: _drain_rings(*op), lambda op: op,
                 (t, fcr, fvr, fnr))
 
-            def ext(op):
-                sf, snn, sb, base, sp = op
-                sb, base, sp, (sf, snn), _left = _extract_segments(
-                    sf, snn, sb, base, sp, inv_tile, PCAP)
-                return sf, snn, sb, base, sp
-
             nonempty = jnp.sum(jnp.minimum(snn, s_slots),
                                dtype=jnp.int32) > 0
-            sf, snn, sb, sbase, spairs = lax.cond(
-                nonempty, ext, lambda op: op,
-                (sf, snn, sb, sbase, spairs))
+            if walker:
+                def drain_rb(op):
+                    rb0, sf, snn = op
+                    rb0, (sf, snn) = rasterize_walk_rings_impl(
+                        rb0, sf, snn, tile=TILE, ntx=_ntx, nty=_nty,
+                        interpret=interpret)
+                    return rb0, sf, snn
+
+                rb0, sf, snn = lax.cond(
+                    nonempty, drain_rb, lambda op: op,
+                    (rb[0], sf, snn))
+                rb = rb0[None]
+            else:
+                def ext(op):
+                    sf, snn, sb, base, sp = op
+                    sb, base, sp, (sf, snn), _left = _extract_segments(
+                        sf, snn, sb, base, sp, inv_tile, PCAP)
+                    return sf, snn, sb, base, sp
+
+                sf, snn, sb, sbase, spairs = lax.cond(
+                    nonempty, ext, lambda op: op,
+                    (sf, snn, sb, sbase, spairs))
             s, moved = self._migrate_shard(s, x_off, y_off)
             live = (~s.dead) & (s.dt_to_census > 0)
             inwin = live
@@ -335,19 +351,21 @@ class FlightDecomposedMixin:
             sp_max = lax.pmax(spairs, axes)
             c_row = jnp.stack([c.nfacets_hi, c.nfacets_lo,
                                c.ncollisions_hi, c.ncollisions_lo])[None, :]
-            return (s, t[None, :], fcr, fvr, fnr, sf, snn, sb, c_row,
+            return (s, t[None, :], fcr, fvr, fnr, sf, snn, sb, rb, c_row,
                     sbase[None], sp_max, done, work, err, ringleft)
 
         ring_col = P(None, axes)
+        rb_spec = P(axes, None, None)
         mapped = shard_map(
             shard_fn, mesh=self.device_mesh,
             in_specs=(spec, P(axes, None), ring_col, ring_col, P(axes),
-                      (ring_col,) * 5, P(axes), P(axes, None)),
+                      (ring_col,) * 5, P(axes), P(axes, None), rb_spec),
             out_specs=(spec, P(axes, None), ring_col, ring_col, P(axes),
-                       (ring_col,) * 5, P(axes), P(axes, None),
+                       (ring_col,) * 5, P(axes), P(axes, None), rb_spec,
                        P(axes, None), P(axes), P(), P(), P(), P(), P()),
             check_vma=False)
-        return mapped(state, tally_parts, fc, fv, fn, sfields, sn, segbuf)
+        return mapped(state, tally_parts, fc, fv, fn, sfields, sn, segbuf,
+                      rbufs)
 
     def _step_flight_decomposed(self, tt: int):
         """Flight-engine census step over the device mesh.
@@ -407,11 +425,13 @@ class FlightDecomposedMixin:
             if use_fused:
                 fc, fv, fnr, sfields, sn = rings
                 (self.state, self.tally_parts, fc, fv, fnr, sfields, sn,
-                 segbuf, c_rows, scnt_rows, sp_max, done, work, err,
-                 ringleft) = self._flight_chunk_fused(
+                 segbuf, rbufs, c_rows, scnt_rows, sp_max, done, work,
+                 err, ringleft) = self._flight_chunk_fused(
                     self.state, self.tally_parts, fc, fv, fnr, sfields,
-                    sn, segbuf, mk)
+                    sn, segbuf, rbufs, mk)
                 rings = (fc, fv, fnr, sfields, sn)
+                # Ring-direct walker mode rasterizes in-dispatch and
+                # returns scnt_rows == 0, so the host raster is skipped.
                 scnt_max = int(jnp.max(scnt_rows))
             else:
                 ringleft = 0

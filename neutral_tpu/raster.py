@@ -373,11 +373,21 @@ def _walk_kernel(ntx, nty, tsz, ns_ref, seg_hbm, buf_in, buf_out,
         p_hi = jnp.minimum(nseg - ci * _CHUNK, _CHUNK)
 
         def per_seg(p, _):
+            # kk == 0 is the skip sentinel (ring-direct streams carry
+            # mostly-empty slots): gate ALL scalar setup behind it.
+            kk = scratch[slot, 4, p]
+
+            @pl.when(kk != zero)
+            def _seg():
+                do_seg(p, kk)
+
+            return 0
+
+        def do_seg(p, kk):
             gx0 = scratch[slot, 0, p]
             gy0 = scratch[slot, 1, p]
             gx1 = scratch[slot, 2, p]
             gy1 = scratch[slot, 3, p]
-            kk = scratch[slot, 4, p]
 
             dgx = gx1 - gx0
             dgy = gy1 - gy0
@@ -444,12 +454,8 @@ def _walk_kernel(ntx, nty, tsz, ns_ref, seg_hbm, buf_in, buf_out,
                                  jnp.where(ty == tye, big, t_ny + hy))
                 return tx, ty, t_nx, t_ny
 
-            @pl.when(kk != zero)
-            def _():
-                carry = lax.fori_loop(0, m, step, (tx, ty, t_nx, t_ny))
-                visit(carry)  # final tile
-
-            return 0
+            carry = lax.fori_loop(0, m, step, (tx, ty, t_nx, t_ny))
+            visit(carry)  # final tile
 
         lax.fori_loop(0, p_hi, per_seg, 0)
         return 0
@@ -457,6 +463,36 @@ def _walk_kernel(ntx, nty, tsz, ns_ref, seg_hbm, buf_in, buf_out,
     lax.fori_loop(0, c1, outer, 0)
     pltpu.make_async_copy(acc_vmem, buf_out, buf_sem).start()
     pltpu.make_async_copy(acc_vmem, buf_out, buf_sem).wait()
+
+
+def _walk_call(buf, planes, nseg, *, tile, ntx, nty, interpret):
+    """pallas_call wrapper over (rows>=5, M) f32 segment planes."""
+    rows = planes.shape[0]
+    out = pl.pallas_call(
+        partial(_walk_kernel, ntx, nty, tile),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            scratch_shapes=[
+                pltpu.VMEM((nty * tile, ntx * tile), jnp.float32),
+                pltpu.SMEM((2, rows, _CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nty * tile, ntx * tile),
+                                       jnp.float32),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+    )(jnp.asarray(nseg, jnp.int32).reshape(1), planes, buf)
+    return out
 
 
 def rasterize_walk_impl(buf, segbuf, nseg, *, tile: int = TILE, ntx: int,
@@ -480,31 +516,45 @@ def rasterize_walk_impl(buf, segbuf, nseg, *, tile: int = TILE, ntx: int,
     if pad:
         planes = jnp.concatenate(
             [planes, jnp.zeros((8, pad), planes.dtype)], axis=1)
-    out = pl.pallas_call(
-        partial(_walk_kernel, ntx, nty, tile),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(1,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            scratch_shapes=[
-                pltpu.VMEM((nty * tile, ntx * tile), jnp.float32),
-                pltpu.SMEM((2, 8, _CHUNK), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA,
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((nty * tile, ntx * tile),
-                                       jnp.float32),
-        input_output_aliases={2: 0},
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=112 * 1024 * 1024),
-    )(jnp.asarray(nseg, jnp.int32).reshape(1), planes, buf)
-    return out
+    return _walk_call(buf, planes, jnp.int32(scap), tile=tile, ntx=ntx,
+                      nty=nty, interpret=interpret)
+
+
+def rasterize_walk_rings_impl(buf, sfields, sn, *, tile: int = TILE,
+                              ntx: int, nty: int,
+                              interpret: bool = False):
+    """Walker raster drain straight from the per-lane segment rings.
+
+    `sfields` are the 5 (S, N) ring planes [gx0, gy0, gx1, gy1, kk] and
+    `sn` the per-lane counts (pallas_flight.make_seg_ring).  No
+    extraction scatter, no flat segment buffer: the kernel streams the
+    ring planes and skips entries whose kk is 0 — entries past a lane's
+    count are masked to 0 here, so stale slots never deposit.  Returns
+    (buf', reset (sfields, sn)) with the rings emptied (kk plane zeroed
+    = the skip sentinel; other planes keep stale values, which the
+    flight kernel overwrites on append).
+    """
+    S, n = sfields[0].shape
+    valid = (jnp.arange(S, dtype=jnp.int32)[:, None] < sn[None, :])
+    kk = jnp.where(valid, sfields[4], 0.0)
+    m = S * n
+    pad = (-m) % _CHUNK
+    zrow = jnp.zeros(m + pad, sfields[0].dtype)
+
+    def flat(a):
+        a = a.reshape(-1)
+        return jnp.concatenate([a, zrow[:pad]]) if pad else a
+
+    # 8 rows (3 zero padding rows): Mosaic HBM slices must be aligned to
+    # the (8, 128) tiling along the leading dim.
+    planes = jnp.stack([flat(sfields[0]), flat(sfields[1]),
+                        flat(sfields[2]), flat(sfields[3]), flat(kk),
+                        zrow, zrow, zrow], axis=0)
+    buf = _walk_call(buf, planes, jnp.int32(m), tile=tile, ntx=ntx,
+                     nty=nty, interpret=interpret)
+    sfields = (sfields[0], sfields[1], sfields[2], sfields[3],
+               jnp.zeros_like(sfields[4]))
+    return buf, (sfields, jnp.zeros_like(sn))
 
 
 @partial(jax.jit, static_argnames=("tile", "ntx", "nty", "interpret"),
@@ -514,6 +564,16 @@ def rasterize_walk(buf, segbuf, nseg, *, tile: int = TILE, ntx: int,
     """Deposit `nseg` buffered segments via the VMEM-resident walker."""
     return rasterize_walk_impl(buf, segbuf, nseg, tile=tile, ntx=ntx,
                                nty=nty, interpret=interpret)
+
+
+@partial(jax.jit, static_argnames=("tile", "ntx", "nty", "interpret"),
+         donate_argnums=(0,))
+def rasterize_walk_rings(buf, sfields, sn, *, tile: int = TILE, ntx: int,
+                         nty: int, interpret: bool = False):
+    """Jitted ring-direct walker drain; see rasterize_walk_rings_impl."""
+    return rasterize_walk_rings_impl(buf, sfields, sn, tile=tile,
+                                     ntx=ntx, nty=nty,
+                                     interpret=interpret)
 
 
 def walker_fits(ntx: int, nty: int, tile: int = TILE,

@@ -210,6 +210,36 @@ def test_rasterize_walk_interpret_matches_ref():
                                atol=1e-5)
 
 
+def test_rasterize_walk_rings_interpret_matches_ref():
+    """Ring-direct walker: (S, N) ring planes deposit like the flat
+    batch, stale slots (>= sn) are ignored, rings come back empty."""
+    rng = np.random.default_rng(7)
+    tile, ntx, nty = 8, 4, 3
+    nx, ny = tile * ntx, tile * nty
+    S, N = 3, 16
+    sf = [rng.uniform(0, nx, (S, N)).astype(np.float32)
+          for _ in range(5)]
+    sf[1] = rng.uniform(0, ny, (S, N)).astype(np.float32)
+    sf[3] = rng.uniform(0, ny, (S, N)).astype(np.float32)
+    sf[4] = rng.uniform(0.5, 2.0, (S, N)).astype(np.float32)
+    sn = rng.integers(0, S + 1, N).astype(np.int32)
+    out, (sf2, sn2) = raster.rasterize_walk_rings(
+        jnp.zeros((ny, nx), jnp.float32),
+        tuple(jnp.asarray(f) for f in sf), jnp.asarray(sn),
+        tile=tile, ntx=ntx, nty=nty, interpret=True)
+    segs = []
+    for lane in range(N):
+        for s in range(sn[lane]):
+            segs.append([sf[0][s, lane], sf[1][s, lane], sf[2][s, lane],
+                         sf[3][s, lane], sf[4][s, lane]])
+    want = raster.rasterize_ref(np.zeros((ny, nx)),
+                                np.asarray(segs, np.float64))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-4,
+                               atol=1e-5)
+    assert int(jnp.max(sn2)) == 0
+    assert float(jnp.max(jnp.abs(sf2[4]))) == 0.0
+
+
 # ---------------------------------------------------------------------------
 # flight engine vs the facet-stepping engine (driver level, f64)
 # ---------------------------------------------------------------------------
