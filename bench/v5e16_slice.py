@@ -16,7 +16,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -39,6 +44,15 @@ def hbm_stats():
     return (st.get("bytes_in_use", 0), st.get("peak_bytes_in_use", 0))
 
 
+def nbytes(*trees):
+    """Analytic allocation total (the axon plugin exposes no memory_stats)."""
+    total = 0
+    for t in trees:
+        for leaf in jax.tree_util.tree_leaves(t):
+            total += leaf.size * leaf.dtype.itemsize
+    return total
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--lanes", type=int, default=12 * 1024 * 1024 + 512 * 1024)
@@ -55,7 +69,10 @@ def main() -> None:
                     ProblemRegion(1.0e4, 0.4, 0.4, 0.2, 0.2))
     else:
         problems = (ProblemRegion(1.0e-30, 0.0, 0.0, 1.0, 1.0),)
-    cfg = SimConfig(nx=G, ny=G, dt=1.0e-7, niters=1,
+    # dt chosen so a census (speed*dt ~ 0.07 of the domain) completes
+    # INSIDE the 0.25-wide block: the slice harness has no migration, so
+    # wall-exited lanes would freeze and end the measurement early.
+    cfg = SimConfig(nx=G, ny=G, dt=5.0e-9, niters=1,
                     nparticles=args.lanes, initial_energy=1.0e6,
                     # source inside this shard's block
                     source=SourceBox(0.30, 0.30, 0.15, 0.15),
@@ -77,9 +94,6 @@ def main() -> None:
         initial_energy=cfg.initial_energy, dt=cfg.dt,
         dtype=jnp.float32, pad_to=n, rng_scheme="threefry",
         local_coords=None)
-    state = begin_timestep(state, mesh2d, geom, cs_s, cfg.dt,
-                           jnp.uint32(1))
-
     # Production per-shard buffers (16-slot flush rings — the sizing
     # question BASELINE.md's table leaves open — 4-slot segment rings).
     tally = jnp.zeros(B * B, jnp.float32)
@@ -93,46 +107,50 @@ def main() -> None:
     _ = float(tally[0])
     use0, peak0 = hbm_stats()
 
+    from neutral_tpu.raster import rasterize_walk_rings
+
     z = jnp.zeros((), jnp.int32)
     xo = jnp.int32(x_off_i)
     yo = jnp.int32(y_off_i)
+    alloc_gb = nbytes(state, tally, fc, fv, fn, sf, sn, segbuf,
+                      rbuf) / 2**30
     times = []
     pieces = 0
-    for it in range(6):
+    for tt in range(1, 5):           # full census steps; step 1 is cold
         t0 = time.perf_counter()
-        (state, tally, c, fc, fv, fn, sf, sn, segbuf, sbase, spairs,
-         done, live, npend) = pallas_flight_chunk(
-            state, tally, EventCounts.zeros(), fc, fv, fn, sf, sn,
-            segbuf, z, z, cs_s, cs_a, geom, jnp.uint32(1),
-            1.0 / cfg.nparticles, 16, k_pieces=8, tile=TILE,
-            pair_cap=1 << 30, x_off=xo, y_off=yo, use_ring_walker=True)
-        nseg = int(npend)
-        if nseg:
-            from neutral_tpu.raster import rasterize_walk_rings
-            rbuf, (sf, sn) = rasterize_walk_rings(
-                rbuf, sf, sn, tile=TILE, ntx=ntx, nty=nty)
-        alive = bool(live)
+        state = begin_timestep(state, mesh2d, geom, cs_s, cfg.dt,
+                               jnp.uint32(tt))
+        while True:
+            (state, tally, c, fc, fv, fn, sf, sn, segbuf, sbase, spairs,
+             done, live, npend) = pallas_flight_chunk(
+                state, tally, EventCounts.zeros(), fc, fv, fn, sf, sn,
+                segbuf, z, z, cs_s, cs_a, geom, jnp.uint32(tt),
+                1.0 / cfg.nparticles, 16, k_pieces=8, tile=TILE,
+                pair_cap=1 << 30, x_off=xo, y_off=yo,
+                use_ring_walker=True)
+            pieces += int(done)
+            if int(npend):
+                rbuf, (sf, sn) = rasterize_walk_rings(
+                    rbuf, sf, sn, tile=TILE, ntx=ntx, nty=nty)
+            if not bool(live):
+                break
+        tally, fc, fv, fn = drain_rings(tally, fc, fv, fn)
+        _ = float(tally[0])
         dt_s = time.perf_counter() - t0
         times.append(dt_s)
-        pieces += int(done)
-        print(f"chunk {it}: {dt_s:.2f}s nseg={nseg} live={alive}",
-              flush=True)
-        if not alive:
-            break
-    tally, fc, fv, fn = drain_rings(tally, fc, fv, fn)
-    _ = float(tally[0])
+        print(f"step {tt}: {dt_s:.2f}s", flush=True)
     use1, peak1 = hbm_stats()
-    warm = times[2:] or times[1:] or times
+    warm = times[1:]
     out = {
         "metric": "v5e16_slice",
         "lanes": n,
         "block": B,
         "ring_slots": 16,
+        "alloc_gb": round(alloc_gb, 3),
         "hbm_in_use_gb": round(use1 / 2**30, 3),
         "hbm_peak_gb": round(peak1 / 2**30, 3),
-        "hbm_before_gb": round(use0 / 2**30, 3),
-        "warm_chunk_s": round(float(np.mean(warm)), 3),
-        "chunks": len(times),
+        "warm_step_s": round(float(np.mean(warm)), 3),
+        "steps": len(times),
         "kernel_calls_pieces": pieces,
     }
     print(json.dumps(out), flush=True)
