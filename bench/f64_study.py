@@ -16,7 +16,12 @@ Prints one JSON line: events/s both ways, slowdown, facet parity.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import jax
 
