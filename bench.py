@@ -114,13 +114,14 @@ def main() -> int:
 
     n_dev = len(jax.devices())
     results = {}
-    for name in ("scatter", "stream", "csp", "split"):
+    decks = sys.argv[1:] or ("scatter", "stream", "csp", "split")
+    for name in decks:
         rec = bench_deck(name, here, n_dev)
         rec["n_devices"] = n_dev
         results[name] = rec
         print(json.dumps(rec), flush=True)
 
-    head = dict(results["scatter"])
+    head = dict(results[decks[0]])
     head["problems"] = {k: {kk: vv for kk, vv in v.items()
                             if kk != "problems"}
                         for k, v in results.items()}

@@ -426,11 +426,11 @@ class Simulation(SimulationBase):
 
         def _sync(x):
             if dbg:
-                jax.block_until_ready(x)
                 # block_until_ready is a no-op through the axon tunnel;
-                # a tiny host read is the only reliable sync there.
-                np.asarray(jax.device_get(
-                    jax.tree_util.tree_leaves(x)[0]).ravel()[:1])
+                # a tiny host read (slice FIRST — device_get of the full
+                # array would stream it at ~40 MB/s) is the reliable sync.
+                leaf = jax.tree_util.tree_leaves(x)[0]
+                np.asarray(leaf.reshape(-1)[:1])
             return x
 
         self.profile.start()
@@ -533,6 +533,10 @@ class Simulation(SimulationBase):
         m = StepMetrics(step=tt, step_time=step_time, nfacets=nf,
                         ncollisions=nc, nprocessed=int(nprocessed),
                         nsweeps=int(nsweeps), phases=phases)
+        if dbg:
+            print("[phases] " + "  ".join(f"{k}={v:.3f}"
+                                          for k, v in phases.items()),
+                  flush=True)
         self.step_metrics.append(m)
         return m
 
