@@ -69,6 +69,23 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _ladder_target(live: int, min_cap: int) -> int:
+    """Smallest {1, 1.5} x 2^k x 8192 lane count holding `live` (+5%).
+
+    Half-steps between powers of two matter at census cliffs: live-lane
+    counts routinely land just under 0.5 x cap, where a pure power-of-two
+    ladder cannot shrink at all (e.g. 4.3M live in a 10M cap).  Each size
+    is still one cached XLA executable.
+    """
+    need = max(int(live * 1.05) + 1, min_cap)
+    u = (need + 8191) // 8192
+    k = max((u - 1).bit_length(), 0)
+    if k >= 1 and (3 << (k - 1)) >= 2 * u:
+        # 1.5 * 2^(k-1) = 0.75 * 2^k also holds it
+        return (3 << (k - 1)) * 4096
+    return (1 << k) * 8192
+
+
 def load_cross_sections(cfg: SimConfig, dtype) -> tuple[CrossSection,
                                                         CrossSection]:
     """Cross-section tables: user `.cs` files if present, else regenerated.
@@ -231,6 +248,15 @@ class SimulationBase:
         self.geom = make_geometry(cfg)
         self.cs_scatter, self.cs_absorb = load_cross_sections(
             cfg, dtype=self.dtype)
+        # The reference ships byte-identical capture/scatter tables; when
+        # the loaded pair matches, kernels dedupe the absorb lookup
+        # (bitwise-equal result, one fewer table evaluation per event).
+        if (np.array_equal(np.asarray(self.cs_scatter.keys),
+                           np.asarray(self.cs_absorb.keys))
+                and np.array_equal(np.asarray(self.cs_scatter.values),
+                                   np.asarray(self.cs_absorb.values))):
+            import dataclasses
+            self.geom = dataclasses.replace(self.geom, same_xs=True)
         self.elapsed_sim_time = 0.0
         self.wallclock = 0.0
         self.profile = Profile()
@@ -453,6 +479,7 @@ class Simulation(SimulationBase):
         # particles.select_working).
         part, sel = full, None
         min_cap = self.compact_min
+        cliff = False
         if use_pallas:
             rc, rv, rn = make_rings(part.n, self.tally.dtype)
         while True:
@@ -460,9 +487,16 @@ class Simulation(SimulationBase):
             # latency per chunk; give the long-tail widths 8x the sweep
             # budget per dispatch (the bound exists to keep single XLA
             # executions short, and 2048 sweeps at <=256k lanes is still
-            # far quicker than 256 sweeps at full width).
-            max_sw = (self.chunk_sweeps if part.n > 262144
-                      else self.chunk_sweeps * 8)
+            # far quicker than 256 sweeps at full width).  Near a census
+            # cliff (live starting to drop at full width) shorten chunks
+            # so compaction can catch the collapse — a 10M->0.2M die-off
+            # inside one 256-sweep chunk otherwise runs mostly dead lanes.
+            if part.n <= 262144:
+                max_sw = self.chunk_sweeps * 8
+            elif cliff:
+                max_sw = max(self.chunk_sweeps // 4, 16)
+            else:
+                max_sw = self.chunk_sweeps
             tc = _time.perf_counter()
             if use_pallas:
                 (part, self.tally, counts, rc, rv, rn, done,
@@ -493,11 +527,13 @@ class Simulation(SimulationBase):
             if self.compact_enabled and cap > min_cap:
                 tc = _time.perf_counter()
                 live = int(live_count(part))
-                target = max(min_cap, 1 << (max(live, 1) - 1).bit_length())
+                cliff = live < int(cap * 0.98)
+                target = _ladder_target(live, min_cap)
                 # Each new size is a separate XLA executable (disk-cached
-                # across runs); halving steps trade a few one-time compiles
-                # for much smaller full-width ring drains in the death tail.
-                if target <= cap // 2:
+                # across runs); ladder steps trade a few one-time compiles
+                # for much smaller sweeps and ring drains in the death
+                # tail.
+                if target <= int(cap * 0.75):
                     if use_pallas:
                         # Rings are lane-indexed: flush before reordering.
                         td = _time.perf_counter()

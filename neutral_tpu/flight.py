@@ -244,7 +244,7 @@ def flight_core(state: ParticleState, geom: Geometry,
 
     # ---- material state (same formulas as sweep_core) ---------------------
     sig_s = scatter_tab.lookup(state.energy)
-    sig_a = absorb_tab.lookup(state.energy)
+    sig_a = sig_s if geom.same_xs else absorb_tab.lookup(state.energy)
     sig_t = sig_s + sig_a
     number_density = rho * _c(_INV_MOLAR, dtype)
     mac_s = number_density * sig_s * _c(BARNS, dtype)

@@ -181,7 +181,7 @@ class SpatialSimulation(FlightDecomposedMixin,
             global_nx=cfg.nx, global_ny=cfg.ny, nx=cfg.nx, ny=self.rows,
             dx=cfg.width / cfg.nx, dy=cfg.height / cfg.ny,
             regions=self.geom.regions, rng_scheme=cfg.rng,
-            rects=self.geom.rects)
+            rects=self.geom.rects, same_xs=self.geom.same_xs)
 
         state = inject_particles(
             self.mesh, nparticles=cfg.nparticles,
@@ -637,7 +637,7 @@ class Spatial2DSimulation(SpatialSimulation):
             global_nx=cfg.nx, global_ny=cfg.ny, nx=self.cols, ny=self.rows,
             dx=cfg.width / cfg.nx, dy=cfg.height / cfg.ny,
             regions=self.geom.regions, rng_scheme=cfg.rng,
-            rects=self.geom.rects)
+            rects=self.geom.rects, same_xs=self.geom.same_xs)
 
         state = inject_particles(
             self.mesh, nparticles=cfg.nparticles,

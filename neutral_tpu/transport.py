@@ -86,6 +86,11 @@ class Geometry:
     # Disjoint constant-density cell rectangles covering the whole domain
     # (flight.disjoint_rects) — required by the free-flight engine.
     rects: tuple | None = None
+    # The reference's capture.cs and elastic_scatter.cs are byte-identical
+    # (SURVEY §2.11); when the loaded tables match, the absorb lookup is
+    # the scatter lookup (bitwise — same deterministic function) and the
+    # kernels skip one of their three per-event table evaluations.
+    same_xs: bool = False
 
 
 @dataclass(frozen=True)
@@ -385,7 +390,7 @@ def sweep_core(state: ParticleState, mesh, geom: Geometry,
     flat_cell = jnp.clip(ly * geom.nx + lx, 0, geom.nx * geom.ny - 1)
     density = _density_of(state, mesh, geom, lx=lx, ly=ly)
     sig_s = scatter_tab.lookup(state.energy)
-    sig_a = absorb_tab.lookup(state.energy)
+    sig_a = sig_s if geom.same_xs else absorb_tab.lookup(state.energy)
     sig_t = sig_s + sig_a
     number_density = density * _c(_INV_MOLAR, dtype)
     mac_s = number_density * sig_s * _c(BARNS, dtype)
