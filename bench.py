@@ -39,16 +39,27 @@ BASELINES = {
 CSP_OMP3_TALLY = 1.120146418000e+07
 
 
-def run_problem(cfg, n_dev):
+def run_problem(cfg, n_dev, decomposition="replicated"):
     """Run all steps of a config; returns (events, solve_seconds, tally)."""
     import numpy as np
 
-    if n_dev > 1:
+    if decomposition == "spatial2d":
+        from neutral_tpu.parallel import Spatial2DSimulation
+        sim = Spatial2DSimulation(cfg, quiet=True)
+    elif n_dev > 1:
         from neutral_tpu.parallel import ShardedSimulation
         sim = ShardedSimulation(cfg, quiet=True)
     else:
         from neutral_tpu.driver import Simulation
         sim = Simulation(cfg, quiet=True)
+
+    # Construction work must not land in step-1 timing — the spatial
+    # drivers upload the owner-partitioned state (tens of MB, ~40 MB/s
+    # through the axon tunnel) asynchronously, and block_until_ready is
+    # a no-op there; a tiny read is the reliable sync.
+    import jax
+    leaf = jax.tree_util.tree_leaves(sim.state)[0]
+    np.asarray(leaf.reshape(-1)[:1])
 
     events = 0
     solve_time = 0.0
@@ -61,7 +72,8 @@ def run_problem(cfg, n_dev):
     return events, solve_time, tally
 
 
-def bench_deck(name: str, here: str, n_dev: int) -> dict:
+def bench_deck(name: str, here: str, n_dev: int,
+               decomposition: str = "replicated") -> dict:
     from neutral_tpu.config import load_config
     from neutral_tpu.constants import VALIDATE_TOLERANCE
 
@@ -71,8 +83,10 @@ def bench_deck(name: str, here: str, n_dev: int) -> dict:
     # logged so a deterministic bug that passes on retry stays visible.
     for attempt in range(2):
         try:
-            run_problem(cfg, n_dev)  # warmup: trace + compile all shapes
-            events, solve_time, tally_sum = run_problem(cfg, n_dev)
+            # warmup: trace + compile all shapes
+            run_problem(cfg, n_dev, decomposition)
+            events, solve_time, tally_sum = run_problem(cfg, n_dev,
+                                                        decomposition)
             break
         except Exception:
             import traceback
@@ -87,8 +101,9 @@ def bench_deck(name: str, here: str, n_dev: int) -> dict:
     rel_err = (abs(tally_sum - expected) / abs(expected)
                if expected else float("nan"))
     validated = bool(expected) and rel_err < VALIDATE_TOLERANCE
+    tag = "" if decomposition == "replicated" else f"_{decomposition}"
     rec = {
-        "metric": f"{name}_events_per_s",
+        "metric": f"{name}{tag}_events_per_s",
         "value": events / solve_time,
         "unit": "events/s",
         "tally_rel_err": rel_err,
@@ -120,6 +135,17 @@ def main() -> int:
         rec["n_devices"] = n_dev
         results[name] = rec
         print(json.dumps(rec), flush=True)
+
+    # Spatial-decomposition datapoints (VERDICT r2 item 1): the flight
+    # engine under the 2D block decomposition, same validation gates.
+    if not sys.argv[1:]:
+        for name in ("csp", "stream"):
+            rec = bench_deck(name, here, n_dev, decomposition="spatial2d")
+            rec["n_devices"] = n_dev
+            rec["slowdown_vs_replicated"] = (results[name]["value"]
+                                             / max(rec["value"], 1e-9))
+            results[f"{name}_spatial2d"] = rec
+            print(json.dumps(rec), flush=True)
 
     head = dict(results[decks[0]])
     head["problems"] = {k: {kk: vv for kk, vv in v.items()

@@ -266,6 +266,41 @@ class SimulationBase:
         raise NotImplementedError
 
     # ------------------------------------------------------------------
+    # The decomposed drivers' chunk programs are jitted methods with
+    # static `self`.  Default identity hashing would give every NEW
+    # Simulation instance its own jit cache entry — retracing AND
+    # re-loading the executables over the (slow) remote-TPU link on
+    # every construction, which silently defeats bench warmup passes and
+    # test reuse.  Hash/compare by the static configuration instead: two
+    # sims with equal keys trace to identical programs (all closed-over
+    # arrays — cs tables, mesh edges — are pure functions of the cfg).
+    def _jit_key(self):
+        dm = getattr(self, "device_mesh", None)
+        devs = (tuple(d.id for d in dm.devices.flat)
+                if dm is not None else ())
+        return (type(self).__name__, self.cfg, str(self.dtype),
+                self.chunk_sweeps, self.k_events, self.events_per_sweep,
+                self.compact_enabled, self.compact_min,
+                self.use_pallas, self.use_flight, self.geom,
+                self.flight_seg_cap, self.flight_flush_cap,
+                self.flight_pair_cap, devs,
+                getattr(self, "nshards", 1), getattr(self, "cap", 0),
+                getattr(self, "cap_xfer", 0), getattr(self, "rows", 0),
+                getattr(self, "cols", 0),
+                getattr(self, "py", 0), getattr(self, "px", 0),
+                getattr(self, "flight_max_calls", None),
+                getattr(self, "flight_k_pieces", None),
+                getattr(self, "flight_fused_interpret", False),
+                getattr(self, "pallas_interpret", False))
+
+    def __hash__(self):
+        return hash(self._jit_key())
+
+    def __eq__(self, other):
+        return (type(other) is type(self)
+                and other._jit_key() == self._jit_key())
+
+    # ------------------------------------------------------------------
     def run(self) -> float:
         """Full timestep loop.  Returns the global tally sum."""
         cfg = self.cfg

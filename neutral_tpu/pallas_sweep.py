@@ -9,7 +9,8 @@ ring insertion is pure elementwise VMEM work, so the expensive per-entry
 HBM tally scatter (XLA TPU scatter: ~8ns/entry, sentinels included) only
 runs when some lane could overflow its ring — for collision-dominated
 problems that is a handful of drains per timestep instead of a full-width
-scatter every sweep.  Measured kernel-only throughput: 3.5e9 lane-events/s
+scatter every sweep.  Measured production pace on the scatter deck:
+2.56e9 lane-sweeps/s (threefry-2x64/20 draws dominate the per-event cost)
 on one v5e chip (vs ~9e7 for the unfused XLA sweep).
 
 Requirements: fast_math mode (analytic cross-sections + region density +

@@ -237,7 +237,9 @@ class FlightDecomposedMixin:
         lane = NamedSharding(self.device_mesh, P(axes))
         fc, fv, fnr = make_rings(total, self.tally_parts.dtype,
                                  ring_slots=8)
-        sfields, sn = make_seg_ring(total, self.dtype, s_slots=4)
+        # 8 segment slots match the single-device walker path: deeper
+        # rings amortize ring-pressure chunk exits on streaming decks.
+        sfields, sn = make_seg_ring(total, self.dtype, s_slots=8)
         return (jax.device_put(fc, colspec), jax.device_put(fv, colspec),
                 jax.device_put(fnr, lane),
                 tuple(jax.device_put(sf, colspec) for sf in sfields),
@@ -265,8 +267,7 @@ class FlightDecomposedMixin:
         from ..pallas_flight import (_extract_segments,
                                      pallas_flight_chunk_impl)
         from ..pallas_sweep import _drain_rings
-        from ..raster import (TILE, grid_shape, rasterize_walk_rings_impl,
-                              walker_fits)
+        from ..raster import TILE, grid_shape, walker_fits
 
         axes = self._axes_names()
         spec = _state_spec(axes)
@@ -304,30 +305,23 @@ class FlightDecomposedMixin:
                 lambda op: _drain_rings(*op), lambda op: op,
                 (t, fcr, fvr, fnr))
 
-            nonempty = jnp.sum(jnp.minimum(snn, s_slots),
-                               dtype=jnp.int32) > 0
-            if walker:
-                def drain_rb(op):
-                    rb0, sf, snn = op
-                    rb0, (sf, snn) = rasterize_walk_rings_impl(
-                        rb0, sf, snn, tile=TILE, ntx=_ntx, nty=_nty,
-                        interpret=interpret)
-                    return rb0, sf, snn
-
-                rb0, sf, snn = lax.cond(
-                    nonempty, drain_rb, lambda op: op,
-                    (rb[0], sf, snn))
-                rb = rb0[None]
-            else:
+            if not walker:
                 def ext(op):
                     sf, snn, sb, base, sp = op
                     sb, base, sp, (sf, snn), _left = _extract_segments(
                         sf, snn, sb, base, sp, inv_tile, PCAP)
                     return sf, snn, sb, base, sp
 
+                nonempty = jnp.sum(jnp.minimum(snn, s_slots),
+                                   dtype=jnp.int32) > 0
                 sf, snn, sb, sbase, spairs = lax.cond(
                     nonempty, ext, lambda op: op,
                     (sf, snn, sb, sbase, spairs))
+            # Walker mode: segment rings stay PENDING through migration
+            # (entries are anonymous and shard-local) and drain in a
+            # separate dispatch (_walker_drain) — embedding the
+            # VMEM-resident walker in this program measurably slowed the
+            # flight kernel (shared program VMEM budget).
             s, moved = self._migrate_shard(s, x_off, y_off)
             live = (~s.dead) & (s.dt_to_census > 0)
             inwin = live
@@ -366,6 +360,33 @@ class FlightDecomposedMixin:
             check_vma=False)
         return mapped(state, tally_parts, fc, fv, fn, sfields, sn, segbuf,
                       rbufs)
+
+    @partial(jax.jit, static_argnames=("self",),
+             donate_argnums=(1, 2, 3))
+    def _walker_drain(self, rbufs, sfields, sn):
+        """Drain every shard's segment rings into its block raster buffer
+        via the VMEM-resident walker (separate dispatch — see
+        _flight_chunk_fused).  Returns (rbufs, sfields, sn) with the
+        rings emptied."""
+        from ..raster import TILE, grid_shape, rasterize_walk_rings_impl
+
+        axes = self._axes_names()
+        _nty, _ntx = grid_shape(self.geom.nx, self.geom.ny, TILE)
+        interpret = getattr(self, "flight_fused_interpret", False)
+
+        def shard_fn(rb, sf, snn):
+            rb0, (sf, snn) = rasterize_walk_rings_impl(
+                rb[0], sf, snn, tile=TILE, ntx=_ntx, nty=_nty,
+                interpret=interpret)
+            return rb0[None], sf, snn
+
+        ring_col = P(None, axes)
+        fn = shard_map(
+            shard_fn, mesh=self.device_mesh,
+            in_specs=(P(axes, None, None), (ring_col,) * 5, P(axes)),
+            out_specs=(P(axes, None, None), (ring_col,) * 5, P(axes)),
+            check_vma=False)
+        return fn(rbufs, sfields, sn)
 
     def _step_flight_decomposed(self, tt: int):
         """Flight-engine census step over the device mesh.
@@ -430,8 +451,14 @@ class FlightDecomposedMixin:
                     self.state, self.tally_parts, fc, fv, fnr, sfields,
                     sn, segbuf, rbufs, mk)
                 rings = (fc, fv, fnr, sfields, sn)
-                # Ring-direct walker mode rasterizes in-dispatch and
-                # returns scnt_rows == 0, so the host raster is skipped.
+                if use_walker and int(ringleft) > 0:
+                    # Ring-direct drain in its own dispatch (see
+                    # _flight_chunk_fused): segments go straight from
+                    # the ring planes to the block raster buffers.
+                    rbufs, sfields, sn = self._walker_drain(
+                        rbufs, sfields, sn)
+                    rings = (fc, fv, fnr, sfields, sn)
+                    ringleft = 0
                 scnt_max = int(jnp.max(scnt_rows))
             else:
                 ringleft = 0

@@ -81,6 +81,10 @@ def _migrate_axis(s: ParticleState, field: str, off, axis: str,
     can never be orphaned by a lane reorder; gated lanes retry after the
     next ring drain exactly like budget-vetoed ones.
     """
+    if nshards == 1:
+        # Degenerate axis (1x1 grids, or one spatial axis unsplit): no
+        # neighbors exist, so skip the pack/exchange/place machinery.
+        return s, jnp.zeros((), jnp.int32)
     live = (~s.dead) & (s.dt_to_census > 0)
     if gate is not None:
         live = live & gate
@@ -352,8 +356,12 @@ class SpatialSimulation(FlightDecomposedMixin,
     def _dyn_offsets(self):
         """(x_off, y_off) traced window origin inside a shard_map body.
 
-        1D slabs span the full x extent, so only y is windowed.
+        1D slabs span the full x extent, so only y is windowed; an
+        unsplit axis (single shard) passes None so the non-windowed
+        kernel — the exact replicated-path executable — runs.
         """
+        if self.nshards == 1:
+            return None, None
         return None, (lax.axis_index(self.axis) * self.rows).astype(
             jnp.int32)
 
@@ -691,8 +699,13 @@ class Spatial2DSimulation(SpatialSimulation):
         return self.axes
 
     def _dyn_offsets(self):
-        return ((lax.axis_index("px") * self.cols).astype(jnp.int32),
-                (lax.axis_index("py") * self.rows).astype(jnp.int32))
+        # Degenerate (unsplit) axes pass None: no window machinery, and
+        # a 1x1 grid reuses the replicated path's exact kernel.
+        xo = (None if self.px == 1 else
+              (lax.axis_index("px") * self.cols).astype(jnp.int32))
+        yo = (None if self.py == 1 else
+              (lax.axis_index("py") * self.rows).astype(jnp.int32))
+        return xo, yo
 
     def _migrate_shard(self, s, x_off, y_off, gate=None):
         s, mx = _migrate_axis(s, "cellx", x_off, "px", self.px, self.cols,
