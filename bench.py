@@ -73,11 +73,16 @@ def run_problem(cfg, n_dev, decomposition="replicated"):
 
 
 def bench_deck(name: str, here: str, n_dev: int,
-               decomposition: str = "replicated") -> dict:
+               decomposition: str = "replicated",
+               rng: str = "threefry") -> dict:
+    import dataclasses
+
     from neutral_tpu.config import load_config
     from neutral_tpu.constants import VALIDATE_TOLERANCE
 
     cfg = load_config(os.path.join(here, "problems", f"{name}.params"))
+    if rng != "threefry":
+        cfg = dataclasses.replace(cfg, rng=rng)
 
     # One retry covers a transient remote-TPU drop; the first failure is
     # logged so a deterministic bug that passes on retry stays visible.
@@ -102,6 +107,8 @@ def bench_deck(name: str, here: str, n_dev: int,
                if expected else float("nan"))
     validated = bool(expected) and rel_err < VALIDATE_TOLERANCE
     tag = "" if decomposition == "replicated" else f"_{decomposition}"
+    if rng != "threefry":
+        tag += f"_{rng.replace('64si', '')}"
     rec = {
         "metric": f"{name}{tag}_events_per_s",
         "value": events / solve_time,
@@ -146,6 +153,17 @@ def main() -> int:
                                              / max(rec["value"], 1e-9))
             results[f"{name}_spatial2d"] = rec
             print(json.dumps(rec), flush=True)
+
+        # The oacc/raja RNG scheme (pcg64si, ~5x fewer ALU ops/draw than
+        # threefry-2x64/20) on the collision-dominated deck, where the
+        # fused kernel is RNG-bound.  Same golden, same tolerance.
+        rec = bench_deck("scatter", here, n_dev, rng="pcg64si")
+        rec["n_devices"] = n_dev
+        rec["speedup_vs_threefry"] = (rec["value"]
+                                      / max(results["scatter"]["value"],
+                                            1e-9))
+        results["scatter_pcg"] = rec
+        print(json.dumps(rec), flush=True)
 
     head = dict(results[decks[0]])
     head["problems"] = {k: {kk: vv for kk, vv in v.items()

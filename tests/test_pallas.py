@@ -18,13 +18,13 @@ from neutral_tpu.transport import EventCounts, begin_timestep, sweep_chunk
 from neutral_tpu import pallas_sweep
 
 
-def make_setup(nparticles=4096, dt=5e-9):
+def make_setup(nparticles=4096, dt=5e-9, rng="threefry"):
     cfg = SimConfig(nx=64, ny=64, dt=dt, niters=1, nparticles=nparticles,
                     initial_energy=1.0e4,
                     source=SourceBox(0.1, 0.1, 0.4, 0.4),
                     problems=(ProblemRegion(1.0e2, 0.0, 0.0, 1.0, 1.0),
                               ProblemRegion(1.0e4, 0.4, 0.4, 0.2, 0.2)),
-                    dtype="float32", tally_dtype="float32")
+                    dtype="float32", tally_dtype="float32", rng=rng)
     sim = Simulation(cfg, quiet=True)
     mk = jnp.uint32(1)
     st = begin_timestep(sim.state, sim.mesh, sim.geom, sim.cs_scatter,
@@ -44,8 +44,9 @@ def run_pallas(cfg, sim, st, mk, max_sweeps, k_events, ring_slots):
 
 
 @pytest.mark.slow
-def test_pallas_matches_xla_to_completion():
-    cfg, sim, st, mk = make_setup()
+@pytest.mark.parametrize("rng", ["threefry", "pcg64si"])
+def test_pallas_matches_xla_to_completion(rng):
+    cfg, sim, st, mk = make_setup(rng=rng)
     s1, t1, c1, n1, live1 = sweep_chunk(
         st, sim.tally, EventCounts.zeros(), sim.mesh, sim.cs_scatter,
         sim.cs_absorb, sim.geom, mk, 1.0 / cfg.nparticles, 2048)
