@@ -227,19 +227,21 @@ class FlightDecomposedMixin:
             check_vma=False)
         return fn(state, fcell, fval, segbuf)
 
-    def _fresh_flight_rings(self):
+    def _fresh_flight_rings(self, total=None, ring_slots: int = 8,
+                            s_slots: int = 8):
         """Empty fused-path rings sharded alongside the lane slabs."""
         from ..pallas_flight import make_seg_ring
         from ..pallas_sweep import make_rings
-        total = self.state.x.shape[0]
+        if total is None:
+            total = self.state.x.shape[0]
         axes = self._axes_names()
         colspec = NamedSharding(self.device_mesh, P(None, axes))
         lane = NamedSharding(self.device_mesh, P(axes))
         fc, fv, fnr = make_rings(total, self.tally_parts.dtype,
-                                 ring_slots=8)
+                                 ring_slots=ring_slots)
         # 8 segment slots match the single-device walker path: deeper
         # rings amortize ring-pressure chunk exits on streaming decks.
-        sfields, sn = make_seg_ring(total, self.dtype, s_slots=8)
+        sfields, sn = make_seg_ring(total, self.dtype, s_slots=s_slots)
         return (jax.device_put(fc, colspec), jax.device_put(fv, colspec),
                 jax.device_put(fnr, lane),
                 tuple(jax.device_put(sf, colspec) for sf in sfields),
@@ -440,15 +442,28 @@ class FlightDecomposedMixin:
         nf = nc = nsweeps = 0
         grows = 0
         interp = getattr(self, "flight_fused_interpret", False)
-        phases = {"sweep": 0.0, "drain": 0.0}
+        phases = {"sweep": 0.0, "drain": 0.0, "compact": 0.0}
+        # Per-shard live-lane compaction ladder (same machinery as the
+        # stepping spatial path): late-census tails run at small static
+        # widths instead of full shard capacity.  Reorder-safe because
+        # the fused chunk force-drains the flush rings every chunk and
+        # the walker drain empties the segment rings whenever ringleft>0,
+        # so rings are globally empty at every loop-bottom with
+        # ringleft == 0; non-fused chunks refill their buffers from
+        # scratch each round.
+        from .sharding import (max_live_sharded, merge_compacted_sharded,
+                               select_working_padded_sharded)
+        part, sel = self.state, None
+        full = part
+        min_cap = self.compact_min
         while True:
             t0 = _time.perf_counter()
             if use_fused:
                 fc, fv, fnr, sfields, sn = rings
-                (self.state, self.tally_parts, fc, fv, fnr, sfields, sn,
+                (part, self.tally_parts, fc, fv, fnr, sfields, sn,
                  segbuf, rbufs, c_rows, scnt_rows, sp_max, done, work,
                  err, ringleft) = self._flight_chunk_fused(
-                    self.state, self.tally_parts, fc, fv, fnr, sfields,
+                    part, self.tally_parts, fc, fv, fnr, sfields,
                     sn, segbuf, rbufs, mk)
                 rings = (fc, fv, fnr, sfields, sn)
                 if use_walker and int(ringleft) > 0:
@@ -462,11 +477,13 @@ class FlightDecomposedMixin:
                 scnt_max = int(jnp.max(scnt_rows))
             else:
                 ringleft = 0
-                (self.state, fcell, fval, segbuf, c_rows, fcnt_rows,
+                (part, fcell, fval, segbuf, c_rows, fcnt_rows,
                  scnt_rows, scnt_max, done, work,
                  err) = self._flight_chunk(
-                    self.state, fcell, fval, segbuf, mk)
+                    part, fcell, fval, segbuf, mk)
                 scnt_max = int(scnt_max)
+            if sel is None:
+                full = part
             dnf, dnc = combine_count_rows(c_rows)
             nf += dnf
             nc += dnc
@@ -499,12 +516,47 @@ class FlightDecomposedMixin:
                 self._print(f"migration overflow: growing shard capacity "
                             f"{self.cap} -> {2 * self.cap}, "
                             "repartitioning")
+                if sel is not None:
+                    full = merge_compacted_sharded(full, part, sel,
+                                                   self.device_mesh)
+                self.state = full
                 self._repartition(2 * self.cap)
+                part, sel = self.state, None
+                full = part
                 if use_fused:
                     rings = self._fresh_flight_rings()
                 continue
             if int(work) == 0:
                 break
+            per_shard_w = part.x.shape[0] // nshards
+            if (self.compact_enabled and per_shard_w > min_cap
+                    and int(ringleft) == 0):
+                t2 = _time.perf_counter()
+                live = int(max_live_sharded(part, self.device_mesh))
+                # 2x headroom over the worst shard keeps migration's
+                # free-slot supply healthy while compacted.
+                target = max(min_cap, 2 << (max(live, 1) - 1).bit_length())
+                if target <= per_shard_w // 2:
+                    if sel is not None:
+                        full = merge_compacted_sharded(full, part, sel,
+                                                       self.device_mesh)
+                    else:
+                        full = part
+                    part, sel = select_working_padded_sharded(
+                        full, target, self.device_mesh)
+                    if use_fused:
+                        # Tail widths: deeper rings amortize the chunk
+                        # exits over more pieces (VMEM is plentiful at
+                        # these lane counts).
+                        rings = self._fresh_flight_rings(
+                            total=target * nshards, ring_slots=32)
+                phases["compact"] += _time.perf_counter() - t2
+        if sel is not None:
+            full = merge_compacted_sharded(full, part, sel,
+                                           self.device_mesh)
+        else:
+            full = part
+        self.state = full
         self.tally_parts = merge_raster_sharded(
             self.tally_parts, rbufs, self.device_mesh, nx=bx, ny=by,
             use_pallas_raster=use_pallas_raster)
