@@ -38,7 +38,42 @@ from ..particles import ParticleState
 from ..raster import raster_drain_impl, rasterize_xla
 from ..transport import EventCounts, Geometry
 from ..xs import CrossSection
-from .common import _state_spec, combine_count_rows
+from .common import _state_spec
+
+# Control-vector layout returned by the chunk programs: 8 uint32 head
+# slots followed by every shard's 64-bit event-count halves
+# [hi_f, lo_f, hi_c, lo_c] (device all_gather — replicated, so ONE
+# ~33 ms axon-tunnel round-trip per chunk reads every loop decision;
+# separate int() pulls cost a round-trip EACH).
+_CTRL_DONE, _CTRL_WORK, _CTRL_ERR, _CTRL_RINGLEFT = 0, 1, 2, 3
+_CTRL_SPMAX, _CTRL_MAXLIVE, _CTRL_SCNTMAX, _CTRL_HEAD = 4, 5, 6, 8
+
+
+def _pack_ctrl(axes, c, *, done, work, err, maxlive, scnt_max=None,
+               sp_max=None, ringleft=None):
+    """Replicated uint32 control vector (inside a shard_map body)."""
+    u32 = jnp.uint32
+    zero = jnp.zeros((), u32)
+
+    def g(v):
+        return zero if v is None else v.astype(u32)
+
+    head = jnp.stack([g(done), g(work), g(err), g(ringleft), g(sp_max),
+                      lax.pmax(maxlive.astype(jnp.int32), axes)
+                         .astype(u32),
+                      g(scnt_max), zero])
+    cvec = jnp.stack([c.nfacets_hi, c.nfacets_lo,
+                      c.ncollisions_hi, c.ncollisions_lo]).astype(u32)
+    return jnp.concatenate([head, lax.all_gather(cvec, axes).reshape(-1)])
+
+
+def _read_ctrl(ctrl_dev):
+    """One host transfer -> (head ints, (nfacets, ncollisions) deltas)."""
+    ctrl = np.asarray(ctrl_dev)
+    crow = ctrl[_CTRL_HEAD:].astype(np.uint64).reshape(-1, 4)
+    dnf = int((crow[:, 0] << np.uint64(32) | crow[:, 1]).sum())
+    dnc = int((crow[:, 2] << np.uint64(32) | crow[:, 3]).sum())
+    return [int(v) for v in ctrl[:_CTRL_HEAD]], dnf, dnc
 
 
 @partial(jax.jit, static_argnames=("mesh_axes",), donate_argnums=(0,))
@@ -176,8 +211,9 @@ class FlightDecomposedMixin:
 
         Buffers are sharded rows refilled from scratch each chunk (their
         counts return for the host-side drains).  Returns (state, fcell,
-        fval, segbuf, c_rows, fcnt_rows, scnt_rows, scnt_max, done,
-        work, err).
+        fval, segbuf, fcnt_rows, scnt_rows, ctrl) where ctrl is the
+        replicated uint32 control vector (see _pack_ctrl) — ONE host
+        round-trip per chunk covers every loop decision.
         """
         from ..raster import TILE
 
@@ -211,19 +247,17 @@ class FlightDecomposedMixin:
             pending_g = lax.psum(pending.astype(jnp.int32), axes)
             moved_g = lax.psum(moved, axes)
             err = ((pending_g > 0) & (moved_g == 0)).astype(jnp.int32)
-            done = lax.pmax(done, axes)
-            scnt_max = lax.pmax(scnt, axes)
-            c_row = jnp.stack([c.nfacets_hi, c.nfacets_lo,
-                               c.ncollisions_hi, c.ncollisions_lo])[None, :]
-            return (s, fc, fv, sb, c_row, fcnt[None], scnt[None],
-                    scnt_max, done, work, err)
+            ctrl = _pack_ctrl(axes, c, done=lax.pmax(done, axes),
+                              work=work, err=err,
+                              scnt_max=lax.pmax(scnt, axes),
+                              maxlive=jnp.count_nonzero(live))
+            return s, fc, fv, sb, fcnt[None], scnt[None], ctrl
 
         fn = shard_map(
             shard_fn, mesh=self.device_mesh,
             in_specs=(spec, P(axes), P(axes), P(axes, None)),
             out_specs=(spec, P(axes), P(axes), P(axes, None),
-                       P(axes, None), P(axes), P(axes), P(), P(), P(),
-                       P()),
+                       P(axes), P(axes), P()),
             check_vma=False)
         return fn(state, fcell, fval, segbuf)
 
@@ -263,8 +297,8 @@ class FlightDecomposedMixin:
         anonymous (they carry shard-local cell coordinates), so a husk's
         pending entries stay valid wherever the lane itself travels.
         Returns (state, tally_parts, fc, fv, fn, sfields, sn, segbuf,
-        rbufs, c_rows, sbase_rows, spairs_max, done, work, err,
-        ringleft).
+        rbufs, sbase_rows, ctrl) with ctrl the replicated uint32
+        control vector (_pack_ctrl) — one host round-trip per chunk.
         """
         from ..pallas_flight import (_extract_segments,
                                      pallas_flight_chunk_impl)
@@ -343,12 +377,13 @@ class FlightDecomposedMixin:
             moved_g = lax.psum(moved, axes)
             err = ((pending_g > 0) & (moved_g == 0)).astype(jnp.int32)
             ringleft = lax.psum(ringwork.astype(jnp.int32), axes)
-            done = lax.pmax(done, axes)
-            sp_max = lax.pmax(spairs, axes)
-            c_row = jnp.stack([c.nfacets_hi, c.nfacets_lo,
-                               c.ncollisions_hi, c.ncollisions_lo])[None, :]
-            return (s, t[None, :], fcr, fvr, fnr, sf, snn, sb, rb, c_row,
-                    sbase[None], sp_max, done, work, err, ringleft)
+            ctrl = _pack_ctrl(axes, c, done=lax.pmax(done, axes),
+                              work=work, err=err, ringleft=ringleft,
+                              sp_max=lax.pmax(spairs, axes),
+                              scnt_max=lax.pmax(sbase, axes),
+                              maxlive=jnp.count_nonzero(live))
+            return (s, t[None, :], fcr, fvr, fnr, sf, snn, sb, rb,
+                    sbase[None], ctrl)
 
         ring_col = P(None, axes)
         rb_spec = P(axes, None, None)
@@ -358,7 +393,7 @@ class FlightDecomposedMixin:
                       (ring_col,) * 5, P(axes), P(axes, None), rb_spec),
             out_specs=(spec, P(axes, None), ring_col, ring_col, P(axes),
                        (ring_col,) * 5, P(axes), P(axes, None), rb_spec,
-                       P(axes, None), P(axes), P(), P(), P(), P(), P()),
+                       P(axes), P()),
             check_vma=False)
         return mapped(state, tally_parts, fc, fv, fn, sfields, sn, segbuf,
                       rbufs)
@@ -451,7 +486,7 @@ class FlightDecomposedMixin:
         # so rings are globally empty at every loop-bottom with
         # ringleft == 0; non-fused chunks refill their buffers from
         # scratch each round.
-        from .sharding import (max_live_sharded, merge_compacted_sharded,
+        from .sharding import (merge_compacted_sharded,
                                select_working_padded_sharded)
         part, sel = self.state, None
         full = part
@@ -461,40 +496,38 @@ class FlightDecomposedMixin:
             if use_fused:
                 fc, fv, fnr, sfields, sn = rings
                 (part, self.tally_parts, fc, fv, fnr, sfields, sn,
-                 segbuf, rbufs, c_rows, scnt_rows, sp_max, done, work,
-                 err, ringleft) = self._flight_chunk_fused(
+                 segbuf, rbufs, scnt_rows,
+                 ctrl_dev) = self._flight_chunk_fused(
                     part, self.tally_parts, fc, fv, fnr, sfields,
                     sn, segbuf, rbufs, mk)
                 rings = (fc, fv, fnr, sfields, sn)
-                if use_walker and int(ringleft) > 0:
-                    # Ring-direct drain in its own dispatch (see
-                    # _flight_chunk_fused): segments go straight from
-                    # the ring planes to the block raster buffers.
-                    rbufs, sfields, sn = self._walker_drain(
-                        rbufs, sfields, sn)
-                    rings = (fc, fv, fnr, sfields, sn)
-                    ringleft = 0
-                scnt_max = int(jnp.max(scnt_rows))
             else:
-                ringleft = 0
-                (part, fcell, fval, segbuf, c_rows, fcnt_rows,
-                 scnt_rows, scnt_max, done, work,
-                 err) = self._flight_chunk(
+                (part, fcell, fval, segbuf, fcnt_rows,
+                 scnt_rows, ctrl_dev) = self._flight_chunk(
                     part, fcell, fval, segbuf, mk)
-                scnt_max = int(scnt_max)
+            head, dnf, dnc = _read_ctrl(ctrl_dev)
+            done, work, err, ringleft = head[:4]
+            sp_max, maxlive, scnt_max = head[4:7]
+            if use_fused and use_walker and ringleft > 0:
+                # Ring-direct drain in its own dispatch (see
+                # _flight_chunk_fused): segments go straight from
+                # the ring planes to the block raster buffers.
+                rbufs, sfields, sn = self._walker_drain(
+                    rbufs, sfields, sn)
+                rings = (fc, fv, fnr, sfields, sn)
+                ringleft = 0
             if sel is None:
                 full = part
-            dnf, dnc = combine_count_rows(c_rows)
             nf += dnf
             nc += dnc
-            nsweeps += int(done)
+            nsweeps += done
             t1 = _time.perf_counter()
             if not use_fused:
                 self.tally_parts = drain_flushes_sharded(
                     self.tally_parts, fcell, fval, fcnt_rows,
                     self.device_mesh)
             if scnt_max > 0:
-                pcap = (next(c for c in TIERS if int(sp_max) <= c)
+                pcap = (next(c for c in TIERS if sp_max <= c)
                         if use_fused and not use_walker else PCAP)
                 rbufs = raster_drain_sharded(
                     rbufs, segbuf, scnt_rows, self.device_mesh, tile=TILE,
@@ -503,7 +536,7 @@ class FlightDecomposedMixin:
                     use_walker=use_walker, interpret=interp)
             phases["sweep"] += t1 - t0
             phases["drain"] += _time.perf_counter() - t1
-            if int(err) and int(ringleft) == 0:
+            if err and ringleft == 0:
                 # Repartition only with globally empty rings (the chunk
                 # force-drains them; a budget-vetoed backlog keeps
                 # ringleft > 0 and clears within a round or two) — a
@@ -526,16 +559,18 @@ class FlightDecomposedMixin:
                 if use_fused:
                     rings = self._fresh_flight_rings()
                 continue
-            if int(work) == 0:
+            if work == 0:
                 break
             per_shard_w = part.x.shape[0] // nshards
             if (self.compact_enabled and per_shard_w > min_cap
-                    and int(ringleft) == 0):
+                    and ringleft == 0):
                 t2 = _time.perf_counter()
-                live = int(max_live_sharded(part, self.device_mesh))
+                # maxlive rode the chunk's control vector — the ladder
+                # costs no extra dispatch or host round-trip.
                 # 2x headroom over the worst shard keeps migration's
                 # free-slot supply healthy while compacted.
-                target = max(min_cap, 2 << (max(live, 1) - 1).bit_length())
+                target = max(min_cap,
+                             2 << (max(maxlive, 1) - 1).bit_length())
                 if target <= per_shard_w // 2:
                     if sel is not None:
                         full = merge_compacted_sharded(full, part, sel,
