@@ -360,6 +360,7 @@ def _walk_kernel(ntx, nty, tsz, ns_ref, seg_hbm, buf_in, buf_out,
     tszf = f32(tsz)
     inv_tsz = f32(1.0 / tsz)
     tiny = f32(1.0e-12)
+    deg = f32(1.0e-6)
     big = f32(_BIG)
 
     def outer(ci, _):
@@ -393,9 +394,17 @@ def _walk_kernel(ntx, nty, tsz, ns_ref, seg_hbm, buf_in, buf_out,
             dgy = gy1 - gy0
             sx = jnp.where(dgx >= zero, i32(1), i32(-1))
             sy = jnp.where(dgy >= zero, i32(1), i32(-1))
-            ivx = one / jnp.where(jnp.abs(dgx) < tiny,
+            # Axis-degenerate segments (vertical/horizontal to within a
+            # micro-cell — the streaming decks emit nothing else) get an
+            # EXACT column/row membership window instead of the 1/tiny
+            # giant-slope affine form: the latter relies on exact
+            # cancellation of ~1e12-scale products, which a single
+            # compiler-fused FMA silently breaks (t windows off by 1e4+).
+            degx = jnp.abs(dgx) < deg
+            degy = jnp.abs(dgy) < deg
+            ivx = one / jnp.where(degx,
                                   jnp.where(dgx < 0, -tiny, tiny), dgx)
-            ivy = one / jnp.where(jnp.abs(dgy) < tiny,
+            ivy = one / jnp.where(degy,
                                   jnp.where(dgy < 0, -tiny, tiny), dgy)
 
             def cfloor(u, n):
@@ -426,10 +435,24 @@ def _walk_kernel(ntx, nty, tsz, ns_ref, seg_hbm, buf_in, buf_out,
                 bylo = by + jnp.minimum(ivy, zero)
                 byhi = by + jnp.maximum(ivy, zero)
                 txm = colv * ivx
-                tx_lo = jnp.maximum(txm + bxlo, zero)
-                tx_hi = jnp.minimum(txm + bxhi, one)
-                ty_lo = rowv * ivy + bylo
-                ty_hi = rowv * ivy + byhi
+                # Degenerate x: whole [0,1] t-window in gx0's column,
+                # empty (lo=1 > hi=0) everywhere else.
+                gx0l = gx0 - tx.astype(f32) * tszf
+                in_col = (colv <= gx0l) & (gx0l < colv + one)
+                tx_lo = jnp.where(degx,
+                                  jnp.where(in_col, zero, one),
+                                  jnp.maximum(txm + bxlo, zero))
+                tx_hi = jnp.where(degx,
+                                  jnp.where(in_col, one, zero),
+                                  jnp.minimum(txm + bxhi, one))
+                gy0l = gy0 - ty.astype(f32) * tszf
+                in_row = (rowv <= gy0l) & (gy0l < rowv + one)
+                ty_lo = jnp.where(degy,
+                                  jnp.where(in_row, zero, one),
+                                  rowv * ivy + bylo)
+                ty_hi = jnp.where(degy,
+                                  jnp.where(in_row, one, zero),
+                                  rowv * ivy + byhi)
                 tin = jnp.maximum(tx_lo, ty_lo)
                 tout = jnp.minimum(tx_hi, ty_hi)
                 ll = jnp.maximum(tout - tin, zero)
