@@ -328,9 +328,15 @@ def raster_drain(buf, segbuf, nseg, *, tile: int = TILE, ntx: int,
 # ~10 ns/elem gathers and the sort cost more than the kernel itself —
 # at the price of one dynamic-slice load/store per (segment, tile) visit.
 
-def _walk_kernel(ntx, nty, tsz, ns_ref, seg_hbm, buf_in, buf_out,
+def _walk_kernel(ntx, nty, tsz, occ_ref, seg_hbm, buf_in, buf_out,
                  acc_vmem, scratch, sems, buf_sem):
-    nseg = ns_ref[0]
+    # occ_ref (scalar prefetch): [n_occupied, chunk_idx_0, chunk_idx_1,
+    # ...] — only chunks with at least one live (kk != 0) entry are
+    # listed, so an all-empty chunk costs NOTHING here (no DMA, no
+    # per-entry scan).  Ring-direct drains stream slot-major ring
+    # planes whose high-slot chunks are mostly empty; the caller
+    # computes the occupancy list with two cheap vector passes.
+    c1 = occ_ref[0]
     # The accumulator lives in VMEM *scratch* (an aliased in/out VMEM
     # window would be allocated twice and overflow VMEM); explicit
     # HBM->VMEM->HBM copies bracket the walk (~67 MB ≈ 0.1 ms each).
@@ -338,11 +344,9 @@ def _walk_kernel(ntx, nty, tsz, ns_ref, seg_hbm, buf_in, buf_out,
     pltpu.make_async_copy(buf_in, acc_vmem, buf_sem).wait()
     colv = lax.broadcasted_iota(jnp.int32, (1, tsz), 1).astype(jnp.float32)
     rowv = lax.broadcasted_iota(jnp.int32, (tsz, 1), 0).astype(jnp.float32)
-    chunk = jnp.asarray(_CHUNK, nseg.dtype)
-    c1 = lax.div(nseg + (chunk - 1), chunk)
 
     def get_dma(slot, ci):
-        off = pl.multiple_of(ci * _CHUNK, _CHUNK)
+        off = pl.multiple_of(occ_ref[1 + ci] * _CHUNK, _CHUNK)
         return pltpu.make_async_copy(
             seg_hbm.at[:, pl.ds(off, _CHUNK)],
             scratch.at[slot],
@@ -371,7 +375,7 @@ def _walk_kernel(ntx, nty, tsz, ns_ref, seg_hbm, buf_in, buf_out,
             get_dma((ci + 1) % 2, ci + 1).start()
 
         get_dma(slot, ci).wait()
-        p_hi = jnp.minimum(nseg - ci * _CHUNK, _CHUNK)
+        p_hi = _CHUNK  # tail entries carry the kk == 0 skip sentinel
 
         def per_seg(p, _):
             # kk == 0 is the skip sentinel (ring-direct streams carry
@@ -488,7 +492,24 @@ def _walk_kernel(ntx, nty, tsz, ns_ref, seg_hbm, buf_in, buf_out,
     pltpu.make_async_copy(acc_vmem, buf_out, buf_sem).wait()
 
 
-def _walk_call(buf, planes, nseg, *, tile, ntx, nty, interpret):
+def _occupied_chunks(kk_flat):
+    """[n_occ, idx...] i32 vector of _CHUNK-chunks with any kk != 0.
+
+    The compaction is a chunk-count-sized scatter (~nc entries), so the
+    cost is two vector passes over the kk plane — microseconds against
+    the scan time the kernel saves on empty chunks.
+    """
+    nc = kk_flat.shape[0] // _CHUNK
+    occ = jnp.any((kk_flat != 0).reshape(nc, _CHUNK), axis=1)
+    pos = jnp.cumsum(occ.astype(jnp.int32)) - 1
+    occ_list = jnp.zeros((nc,), jnp.int32).at[
+        jnp.where(occ, pos, nc)].set(
+        jnp.arange(nc, dtype=jnp.int32), mode="drop")
+    n_occ = jnp.sum(occ.astype(jnp.int32)).reshape(1)
+    return jnp.concatenate([n_occ, occ_list])
+
+
+def _walk_call(buf, planes, occ, *, tile, ntx, nty, interpret):
     """pallas_call wrapper over (rows>=5, M) f32 segment planes."""
     rows = planes.shape[0]
     out = pl.pallas_call(
@@ -514,7 +535,7 @@ def _walk_call(buf, planes, nseg, *, tile, ntx, nty, interpret):
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024),
-    )(jnp.asarray(nseg, jnp.int32).reshape(1), planes, buf)
+    )(occ, planes, buf)
     return out
 
 
@@ -539,8 +560,8 @@ def rasterize_walk_impl(buf, segbuf, nseg, *, tile: int = TILE, ntx: int,
     if pad:
         planes = jnp.concatenate(
             [planes, jnp.zeros((8, pad), planes.dtype)], axis=1)
-    return _walk_call(buf, planes, jnp.int32(scap), tile=tile, ntx=ntx,
-                      nty=nty, interpret=interpret)
+    return _walk_call(buf, planes, _occupied_chunks(planes[4]), tile=tile,
+                      ntx=ntx, nty=nty, interpret=interpret)
 
 
 def rasterize_walk_rings_impl(buf, sfields, sn, *, tile: int = TILE,
@@ -573,8 +594,8 @@ def rasterize_walk_rings_impl(buf, sfields, sn, *, tile: int = TILE,
     planes = jnp.stack([flat(sfields[0]), flat(sfields[1]),
                         flat(sfields[2]), flat(sfields[3]), flat(kk),
                         zrow, zrow, zrow], axis=0)
-    buf = _walk_call(buf, planes, jnp.int32(m), tile=tile, ntx=ntx,
-                     nty=nty, interpret=interpret)
+    buf = _walk_call(buf, planes, _occupied_chunks(planes[4]), tile=tile,
+                     ntx=ntx, nty=nty, interpret=interpret)
     sfields = (sfields[0], sfields[1], sfields[2], sfields[3],
                jnp.zeros_like(sfields[4]))
     return buf, (sfields, jnp.zeros_like(sn))

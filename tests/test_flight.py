@@ -237,6 +237,16 @@ def test_rasterize_walk_rings_interpret_matches_ref():
     np.testing.assert_allclose(np.asarray(out), want, rtol=2e-4,
                                atol=1e-5)
     assert int(jnp.max(sn2)) == 0
+
+    # All-empty rings: the occupancy list is empty (zero chunks fetched)
+    # and the buffer must come back unchanged.
+    base = jnp.asarray(np.arange(ny * nx, dtype=np.float32).reshape(ny, nx))
+    out0, (_, sn0) = raster.rasterize_walk_rings(
+        base + 0.0, tuple(jnp.asarray(f) for f in sf),
+        jnp.zeros(N, jnp.int32), tile=tile, ntx=ntx, nty=nty,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(base))
+    assert int(jnp.max(sn0)) == 0
     assert float(jnp.max(jnp.abs(sf2[4]))) == 0.0
 
 
