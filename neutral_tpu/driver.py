@@ -468,7 +468,7 @@ class Simulation(SimulationBase):
         the fused Pallas kernel with caller-owned pending-flush rings
         (pallas_sweep.py); otherwise the pure-XLA sweep.
         """
-        from .particles import live_count, merge_compacted, select_working
+        from .particles import merge_compacted, select_working
         from .transport import EventCounts, begin_timestep, sweep_chunk
 
         if self.use_flight:
@@ -535,12 +535,12 @@ class Simulation(SimulationBase):
             tc = _time.perf_counter()
             if use_pallas:
                 (part, self.tally, counts, rc, rv, rn, done,
-                 any_live) = pallas_sweep_chunk(
+                 n_work) = pallas_sweep_chunk(
                     part, self.tally, counts, rc, rv, rn, self.cs_scatter,
                     self.cs_absorb, self.geom, master_key, inv_ntotal,
                     max_sw, k_events=self.k_events)
             else:
-                part, self.tally, counts, done, any_live = sweep_chunk(
+                part, self.tally, counts, done, n_work = sweep_chunk(
                     part, self.tally, counts, self.mesh, self.cs_scatter,
                     self.cs_absorb, self.geom, master_key, inv_ntotal,
                     max_sw,
@@ -550,7 +550,11 @@ class Simulation(SimulationBase):
                 # chunk inputs are donated; keep `full` pointing at live
                 # buffers (it aliases `part` until the first compaction)
                 full = part
-            alive = bool(any_live)   # syncs on the chunk (host chaining)
+            # The chunk returns the working-lane count, so the compaction
+            # ladder below needs NO separate live_count dispatch (each
+            # extra dispatch is a ~33 ms round trip through the tunnel).
+            live = int(n_work)       # syncs on the chunk (host chaining)
+            alive = live > 0
             phases["sweep"] += _time.perf_counter() - tc
             if dbg:
                 dt_chunk = _time.perf_counter() - tc
@@ -561,7 +565,6 @@ class Simulation(SimulationBase):
             cap = part.n
             if self.compact_enabled and cap > min_cap:
                 tc = _time.perf_counter()
-                live = int(live_count(part))
                 cliff = live < int(cap * 0.98)
                 target = _ladder_target(live, min_cap)
                 # Each new size is a separate XLA executable (disk-cached
@@ -625,7 +628,7 @@ class Simulation(SimulationBase):
         at the end of the step.
         """
         from .flight import drain_flushes, flight_chunk
-        from .particles import live_count, merge_compacted, select_working
+        from .particles import merge_compacted, select_working
         from .raster import TILE, rasterize_xla
         from .transport import EventCounts, begin_timestep
 
@@ -671,7 +674,7 @@ class Simulation(SimulationBase):
             max_sw = (self.chunk_sweeps if part.n > 262144
                       else self.chunk_sweeps * 8)
             (part, counts, fbuf_cell, fbuf_val, segbuf, fcnt, scnt,
-             spairs, done, any_live) = flight_chunk(
+             spairs, done, n_work) = flight_chunk(
                 part, counts, self.cs_scatter, fbuf_cell, fbuf_val,
                 segbuf, zero_i, zero_i, zero_i, self.cs_absorb, self.geom,
                 master_key, inv_ntotal, max_sw, tile=TILE, pair_cap=PCAP)
@@ -684,7 +687,8 @@ class Simulation(SimulationBase):
             rflat = rasterize_xla(rflat, segbuf, scnt, nx=cfg.nx,
                                   ny=cfg.ny,
                                   max_steps=cfg.nx + cfg.ny + 2)
-            alive = bool(any_live)
+            live = int(n_work)   # chunk-returned count: no extra dispatch
+            alive = live > 0
             phases["sweep"] += t1 - t0
             phases["drain"] += _time.perf_counter() - t1
             if dbg:
@@ -697,7 +701,6 @@ class Simulation(SimulationBase):
             cap = part.n
             if self.compact_enabled and cap > min_cap:
                 t2 = _time.perf_counter()
-                live = int(live_count(part))
                 target = max(min_cap, 1 << (max(live, 1) - 1).bit_length())
                 if target <= cap // 2:
                     if sel is not None:
@@ -735,7 +738,7 @@ class Simulation(SimulationBase):
         from .pallas_flight import (extract_ring_segments, make_seg_ring,
                                     pallas_flight_chunk)
         from .pallas_sweep import drain_rings, make_rings
-        from .particles import live_count, merge_compacted, select_working
+        from .particles import merge_compacted, select_working
         from .raster import (TILE, grid_shape, raster_drain,
                              rasterize_walk, rasterize_walk_rings,
                              walker_fits)
@@ -821,7 +824,7 @@ class Simulation(SimulationBase):
             max_calls = 32 if big else 128
             k_pieces = 8 if big else 16
             (part, self.tally, counts, fc, fv, fn, sfields, sn, segbuf,
-             sbase, spairs, done, any_live,
+             sbase, spairs, done, n_work,
              npend) = pallas_flight_chunk(
                 part, self.tally, counts, fc, fv, fn, sfields, sn, segbuf,
                 sbase, spairs, self.cs_scatter, self.cs_absorb, self.geom,
@@ -847,15 +850,12 @@ class Simulation(SimulationBase):
                 print(f"[flight-fused] n={part.n} chunk={t1 - t0:.2f}s "
                       f"sbase={nseg} npend={int(npend)}", flush=True)
             sbase = spairs = zero_i
-            if not bool(any_live):
+            live = int(n_work)   # chunk-returned count: no extra dispatch
+            if live == 0:
                 break
             cap = part.n
             if self.compact_enabled and cap > min_cap:
                 t2 = _time.perf_counter()
-                live = int(live_count(part))
-                if dbg:
-                    phases["compact_live"] = phases.get(
-                        "compact_live", 0.0) + _time.perf_counter() - t2
                 target = max(min_cap, 1 << (max(live, 1) - 1).bit_length())
                 if target <= cap // 2:
                     ta = _time.perf_counter()

@@ -550,11 +550,13 @@ def flight_chunk_impl(state: ParticleState, counts: EventCounts,
              spairs, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
     (state, counts, fbuf_cell, fbuf_val, segbuf, fcnt, scnt, spairs,
      nsweeps, _) = lax.while_loop(cond, body, carry)
-    # In windowed (spatial) mode this is "any workable lane on THIS
-    # shard"; frozen out-of-window lanes are the caller's migration work.
-    any_live = jnp.any(live_mask(state))
+    # Working-lane COUNT: in windowed (spatial) mode this counts workable
+    # lanes on THIS shard (frozen out-of-window lanes are the caller's
+    # migration work); single-device callers reuse it as the compaction
+    # live count, saving a live_count dispatch per chunk.
+    n_work = jnp.count_nonzero(live_mask(state)).astype(jnp.int32)
     return (state, counts, fbuf_cell, fbuf_val, segbuf, fcnt, scnt,
-            spairs, nsweeps, any_live)
+            spairs, nsweeps, n_work)
 
 
 @partial(jax.jit, static_argnames=("geom", "inv_ntotal", "max_sweeps",

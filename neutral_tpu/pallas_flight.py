@@ -334,7 +334,8 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
 
     Unjitted (shard_map-composable); `x_off`/`y_off` activate the
     spatial window (out-of-window lanes freeze and don't count as work).
-    Returns (..., ncalls*k_pieces, any_live, nseg_pending).
+    Returns (..., ncalls*k_pieces, n_work, nseg_pending) — n_work the
+    workable-lane count (compaction live count for unwindowed callers).
     """
     from .pallas_sweep import _drain_rings
 
@@ -428,12 +429,14 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
              spairs, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
     (state, tally, counts, fc, fv, fn, sfields, sn, segbuf, sbase, spairs,
      ncalls, _) = lax.while_loop(cond, body, carry)
-    # Windowed mode: workable lanes on THIS shard (frozen out-of-window
-    # lanes are the caller's migration work).
-    any_live = jnp.any(working(state))
+    # Working-lane COUNT: in windowed mode, workable lanes on THIS shard
+    # (frozen out-of-window lanes are the caller's migration work);
+    # single-device callers reuse it as the compaction live count,
+    # saving a live_count dispatch per chunk.
+    n_work = jnp.count_nonzero(working(state)).astype(jnp.int32)
     nseg_pending = jnp.sum(jnp.minimum(sn, s_slots), dtype=jnp.int32)
     return (state, tally, counts, fc, fv, fn, sfields, sn, segbuf, sbase,
-            spairs, ncalls * k_pieces, any_live, nseg_pending)
+            spairs, ncalls * k_pieces, n_work, nseg_pending)
 
 
 @partial(jax.jit, static_argnames=("geom", "inv_ntotal", "max_calls",

@@ -367,6 +367,11 @@ def pallas_sweep_chunk(state: ParticleState, tally: jnp.ndarray,
              jnp.zeros((), jnp.int32))
     (state, tally, counts, ring_cell, ring_val, ring_cnt,
      n_done) = lax.while_loop(cond, body, carry)
-    any_live = jnp.any(working_mask(state, geom, y_off, x_off))
+    # Working-lane COUNT (not a bool): the caller's compaction ladder
+    # needs the live count anyway, and returning it here saves a whole
+    # host round trip per chunk (a separate live_count dispatch costs
+    # ~33 ms through the axon tunnel).
+    n_work = jnp.count_nonzero(
+        working_mask(state, geom, y_off, x_off)).astype(jnp.int32)
     return (state, tally, counts, ring_cell, ring_val, ring_cnt,
-            n_done * k_events, any_live)
+            n_done * k_events, n_work)

@@ -129,7 +129,8 @@ def sweep_chunk_sharded(state: ParticleState, tally_parts: jnp.ndarray,
 
     Each shard sweeps until its own particles finish or the bound is hit —
     no lockstep between shards inside a chunk.  Returns
-    (state, tally_parts, counts_delta, nsweeps_max, any_live_global) with
+    (state, tally_parts, counts_delta, nsweeps_max, max_work) — max_work
+    the pmax over shards of each shard's working-lane count — with
     counts_delta globally psum'd; the caller accumulates across chunks.
     """
     from ..transport import EventCounts
@@ -406,14 +407,14 @@ class ShardedSimulation(FlightDecomposedMixin,
                       else self.chunk_sweeps * 8)
             if use_pallas:
                 (part, self.tally_parts, c_rows, rc, rv, rn, done,
-                 any_live) = pallas_sweep_chunk_sharded(
+                 max_work) = pallas_sweep_chunk_sharded(
                     part, self.tally_parts, rc, rv, rn,
                     self.cs_scatter, self.cs_absorb, self.geom, master_key,
                     inv_ntotal, self.device_mesh, max_sw,
                     k_events=self.k_events)
             else:
                 (part, self.tally_parts, c_rows, done,
-                 any_live) = sweep_chunk_sharded(
+                 max_work) = sweep_chunk_sharded(
                     part, self.tally_parts, self.mesh2d,
                     self.cs_scatter, self.cs_absorb, self.geom, master_key,
                     inv_ntotal, self.device_mesh, max_sw,
@@ -424,10 +425,12 @@ class ShardedSimulation(FlightDecomposedMixin,
             nsweeps += int(done)
             if sel is None:
                 full = part  # chunk inputs are donated; keep live buffers
-            if not bool(any_live):
+            # pmax'd per-shard working count from the chunk itself ==
+            # max_live_sharded, minus one whole dispatch per chunk.
+            live = int(max_work)
+            if live == 0:
                 break
             if self.compact_enabled and per_shard > min_cap:
-                live = int(max_live_sharded(part, self.device_mesh))
                 target = max(min_cap,
                              1 << (max(live, 1) - 1).bit_length())
                 if target <= per_shard // 2:

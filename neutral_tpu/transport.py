@@ -514,7 +514,9 @@ def sweep_chunk(state: ParticleState, tally: jnp.ndarray,
     visibility and robustness against RPC deadlines on remote TPU links.
     In spatial mode (y_off_dyn set) lanes that leave the shard's slab
     freeze and the chunk ends when only frozen lanes remain; the caller
-    migrates them.  Returns (state, tally, counts, nsweeps_done, any_live).
+    migrates them.  Returns (state, tally, counts, nsweeps_done, n_work)
+    — n_work the working-lane count (saves the caller a live_count
+    dispatch; >0 means more chunks are needed).
     """
     def cond(carry):
         s, _, _, it = carry
@@ -533,8 +535,9 @@ def sweep_chunk(state: ParticleState, tally: jnp.ndarray,
 
     carry = (state, tally, counts, jnp.zeros((), jnp.int32))
     state, tally, counts, nsweeps = lax.while_loop(cond, body, carry)
-    any_live = jnp.any(working_mask(state, geom, y_off_dyn, x_off_dyn))
-    return state, tally, counts, nsweeps * events_per_sweep, any_live
+    n_work = jnp.count_nonzero(
+        working_mask(state, geom, y_off_dyn, x_off_dyn)).astype(jnp.int32)
+    return state, tally, counts, nsweeps * events_per_sweep, n_work
 
 
 @partial(jax.jit, static_argnames=("geom", "max_sweeps", "events_per_sweep"))
