@@ -794,7 +794,7 @@ class Simulation(SimulationBase):
         # of HBM and a fraction of a MB of kernel VMEM per block).
         sfields, sn = make_seg_ring(part.n, self.dtype,
                                     s_slots=8 if use_walker else 4)
-        sbase = spairs = zero_i
+
         def drain_segs(rbuf, sfields, sn, npend):
             """Empty the segment rings into rbuf (ring-direct walker,
             or the extraction+raster loop on the fallback path)."""
@@ -824,33 +824,35 @@ class Simulation(SimulationBase):
             max_calls = 32 if big else 128
             k_pieces = 8 if big else 16
             (part, self.tally, counts, fc, fv, fn, sfields, sn, segbuf,
-             sbase, spairs, done, n_work,
-             npend) = pallas_flight_chunk(
+             ctrl) = pallas_flight_chunk(
                 part, self.tally, counts, fc, fv, fn, sfields, sn, segbuf,
-                sbase, spairs, self.cs_scatter, self.cs_absorb, self.geom,
+                zero_i, zero_i, self.cs_scatter, self.cs_absorb, self.geom,
                 master_key, inv_ntotal, max_calls, k_pieces=k_pieces,
                 tile=TILE, pair_cap=PCAP, interpret=interpret,
                 use_ring_walker=use_walker)
-            nsweeps += int(done)
+            # ONE control fetch per chunk: [done, sbase, spairs, n_work,
+            # npend] packed device-side (separate scalar reads each cost
+            # a tunnel round trip).
+            done, nseg, npairs, live, npend = (
+                int(v) for v in np.asarray(ctrl))
+            nsweeps += done
             if sel is None:
                 full = part
-            nseg, npairs = int(sbase), int(spairs)
             t1 = _time.perf_counter()
             if use_walker:
                 # Ring-direct: segments never leave the rings; the chunk
                 # returned because ring pressure stalled progress (or the
                 # census finished) — drain straight from the ring planes.
-                rbuf, sfields, sn = drain_segs(rbuf, sfields, sn,
-                                               int(npend))
+                # After this the rings are ALWAYS empty (host-known), so
+                # the compaction/final paths skip their re-drain checks.
+                rbuf, sfields, sn = drain_segs(rbuf, sfields, sn, npend)
             else:
                 rbuf = raster(rbuf, segbuf, nseg, npairs)
             phases["sweep"] += t1 - t0
             phases["raster"] += _time.perf_counter() - t1
             if dbg:
                 print(f"[flight-fused] n={part.n} chunk={t1 - t0:.2f}s "
-                      f"sbase={nseg} npend={int(npend)}", flush=True)
-            sbase = spairs = zero_i
-            live = int(n_work)   # chunk-returned count: no extra dispatch
+                      f"sbase={nseg} npend={npend}", flush=True)
             if live == 0:
                 break
             cap = part.n
@@ -868,13 +870,15 @@ class Simulation(SimulationBase):
                             "compact_ringdrain", 0.0) + (
                             _time.perf_counter() - ta)
                         ta2 = _time.perf_counter()
-                    # Lane-indexed rings must be empty before reordering;
-                    # skip the (statically full-width) drain when they
-                    # already are (walker mode empties them per chunk).
-                    rbuf, sfields, sn = drain_segs(
-                        rbuf, sfields, sn,
-                        int(jnp.sum(jnp.minimum(sn,
-                                                sfields[0].shape[0]))))
+                    # Lane-indexed segment rings must be empty before
+                    # reordering.  Walker mode already emptied them at the
+                    # chunk exit above (host-known — no count dispatch);
+                    # only the extraction path can carry leftovers.
+                    if not use_walker:
+                        rbuf, sfields, sn = drain_segs(
+                            rbuf, sfields, sn,
+                            int(jnp.sum(jnp.minimum(sn,
+                                                    sfields[0].shape[0]))))
                     if dbg:
                         phases["compact_extract"] = phases.get(
                             "compact_extract", 0.0) + (
@@ -905,9 +909,10 @@ class Simulation(SimulationBase):
         # final ring drains (skipped when the rings emptied in-loop)
         t3 = _time.perf_counter()
         self.tally, fc, fv, fn = drain_rings(self.tally, fc, fv, fn)
-        rbuf, sfields, sn = drain_segs(
-            rbuf, sfields, sn,
-            int(jnp.sum(jnp.minimum(sn, sfields[0].shape[0]))))
+        if not use_walker:
+            rbuf, sfields, sn = drain_segs(
+                rbuf, sfields, sn,
+                int(jnp.sum(jnp.minimum(sn, sfields[0].shape[0]))))
         phases["raster"] += _time.perf_counter() - t3
         if sel is not None:
             full = merge_compacted(full, part, sel)

@@ -452,10 +452,20 @@ def pallas_flight_chunk(state: ParticleState, tally, counts: EventCounts,
                         pair_cap: int = 8 * 1024 * 1024,
                         interpret: bool = False, x_off=None, y_off=None,
                         use_ring_walker: bool = False):
-    """Jitted single-device wrapper of pallas_flight_chunk_impl."""
-    return pallas_flight_chunk_impl(
+    """Jitted single-device wrapper of pallas_flight_chunk_impl.
+
+    The five control scalars come back PACKED as one i32 vector
+    [nsweeps, sbase, spairs, n_work, nseg_pending] so the host chains on
+    a single small fetch per chunk (each separate scalar fetch is its
+    own round trip through the axon tunnel).
+    """
+    (state, tally, counts, fc, fv, fn, sfields, sn, segbuf, sbase, spairs,
+     done, n_work, npend) = pallas_flight_chunk_impl(
         state, tally, counts, fc, fv, fn, sfields, sn, segbuf, sbase,
         spairs, scatter_tab, absorb_tab, geom, master_key, inv_ntotal,
         max_calls, k_pieces=k_pieces, tile=tile, pair_cap=pair_cap,
         interpret=interpret, x_off=x_off, y_off=y_off,
         use_ring_walker=use_ring_walker)
+    ctrl = jnp.stack([done.astype(jnp.int32), sbase, spairs, n_work,
+                      npend])
+    return (state, tally, counts, fc, fv, fn, sfields, sn, segbuf, ctrl)
