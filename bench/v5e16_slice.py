@@ -107,8 +107,6 @@ def main() -> None:
     _ = float(tally[0])
     use0, peak0 = hbm_stats()
 
-    from neutral_tpu.raster import rasterize_walk_rings
-
     z = jnp.zeros((), jnp.int32)
     xo = jnp.int32(x_off_i)
     yo = jnp.int32(y_off_i)
@@ -121,18 +119,17 @@ def main() -> None:
         state = begin_timestep(state, mesh2d, geom, cs_s, cfg.dt,
                                jnp.uint32(tt))
         while True:
-            (state, tally, c, fc, fv, fn, sf, sn, segbuf, sbase, spairs,
-             done, live, npend) = pallas_flight_chunk(
+            (state, tally, c, fc, fv, fn, sf, sn, segbuf, rbuf,
+             ctrl) = pallas_flight_chunk(
                 state, tally, EventCounts.zeros(), fc, fv, fn, sf, sn,
-                segbuf, z, z, cs_s, cs_a, geom, jnp.uint32(tt),
+                segbuf, z, z, rbuf, cs_s, cs_a, geom, jnp.uint32(tt),
                 1.0 / cfg.nparticles, 16, k_pieces=8, tile=TILE,
                 pair_cap=1 << 30, x_off=xo, y_off=yo,
-                use_ring_walker=True)
-            pieces += int(done)
-            if int(npend):
-                rbuf, (sf, sn) = rasterize_walk_rings(
-                    rbuf, sf, sn, tile=TILE, ntx=ntx, nty=nty)
-            if not bool(live):
+                use_ring_walker=True, ntx=ntx, nty=nty)
+            done, _sb, _sp, live, _npend = (
+                int(v) for v in np.asarray(ctrl))
+            pieces += done
+            if not live:
                 break
         tally, fc, fv, fn = drain_rings(tally, fc, fv, fn)
         _ = float(tally[0])

@@ -730,18 +730,19 @@ class Simulation(SimulationBase):
         """Flight step on the fused Mosaic kernel (pallas_flight.py).
 
         Per-lane flush/segment rings live in VMEM across k-piece kernel
-        calls; flush rings drain into the tally inside the chunk loop,
-        segment rings extract into the flat buffer which the host
-        rasterizes at chunk boundaries.  Rings are lane-indexed, so they
-        are drained/extracted before any lane compaction.
+        calls; flush rings drain into the tally inside the chunk loop.
+        Segment rings, on walker-sized meshes, rasterize into the padded
+        buffer inside the chunk loop too (the in-loop VMEM-resident
+        walker — segment pressure never exits the chunk); bigger meshes
+        extract into the flat buffer which the host rasterizes at chunk
+        boundaries.  Rings are lane-indexed, so they are always empty
+        (walker) or drained host-side (fallback) before lane compaction.
         """
         from .pallas_flight import (extract_ring_segments, make_seg_ring,
                                     pallas_flight_chunk)
         from .pallas_sweep import drain_rings, make_rings
         from .particles import merge_compacted, select_working
-        from .raster import (TILE, grid_shape, raster_drain,
-                             rasterize_walk, rasterize_walk_rings,
-                             walker_fits)
+        from .raster import TILE, grid_shape, raster_drain, walker_fits
         from .transport import EventCounts, begin_timestep
 
         cfg = self.cfg
@@ -768,10 +769,6 @@ class Simulation(SimulationBase):
         def raster(rb, sb, nseg, npairs):
             if nseg == 0:
                 return rb
-            if use_walker:
-                return rasterize_walk(rb, sb, jnp.int32(nseg), tile=TILE,
-                                      ntx=ntx, nty=nty,
-                                      interpret=interpret)
             cap = next(c for c in TIERS if npairs <= c)
             return raster_drain(rb, sb, jnp.int32(nseg), tile=TILE,
                                 ntx=ntx, nty=nty, pair_cap=cap,
@@ -788,23 +785,38 @@ class Simulation(SimulationBase):
 
         part, sel = full, None
         min_cap = self.compact_min
+
+        def pick_kmax(width):
+            """(k_pieces, max_calls) for a working width.
+
+            Small (compacted tail) widths amortize the while-loop's
+            per-call bookkeeping over more fused pieces per kernel
+            call.  Walker mode drains in-loop, so max_calls is what
+            bounds the host's compaction-check cadence at big widths.
+            """
+            big = width > 262144
+            k = (getattr(self, "flight_k_pieces", None)
+                 or (8 if big else 16))
+            mc = (getattr(self, "flight_max_calls", None)
+                  or ((4 if use_walker else 32) if big else 128))
+            return k, mc
+
+        def seg_slots(width):
+            # Piece-plane rings (walker mode): plane p belongs to piece
+            # p, so the ring must have exactly k_pieces planes; the
+            # sorted-pair fallback keeps the 4-slot count-based ring.
+            return pick_kmax(width)[0] if use_walker else 4
+
         fc, fv, fn = make_rings(part.n, tally_dt, ring_slots=8)
-        # Ring-direct walker mode drains whole rings per chunk exit:
-        # deeper rings amortize the exits (an extra plane is ~4 B/lane
-        # of HBM and a fraction of a MB of kernel VMEM per block).
         sfields, sn = make_seg_ring(part.n, self.dtype,
-                                    s_slots=8 if use_walker else 4)
+                                    s_slots=seg_slots(part.n))
 
         def drain_segs(rbuf, sfields, sn, npend):
-            """Empty the segment rings into rbuf (ring-direct walker,
-            or the extraction+raster loop on the fallback path)."""
+            """Empty the segment rings into rbuf via the
+            extraction+raster loop (sorted-pair fallback path; walker
+            mode drains in-loop inside the chunk program)."""
             nonlocal segbuf
             if npend <= 0:
-                return rbuf, sfields, sn
-            if use_walker:
-                rbuf, (sfields, sn) = rasterize_walk_rings(
-                    rbuf, sfields, sn, tile=TILE, ntx=ntx, nty=nty,
-                    interpret=interpret)
                 return rbuf, sfields, sn
             while True:
                 segbuf, sb2, sp2, (sfields, sn), left = \
@@ -818,18 +830,22 @@ class Simulation(SimulationBase):
 
         while True:
             t0 = _time.perf_counter()
-            # Small (compacted tail) widths amortize the while-loop's
-            # per-call bookkeeping over more fused pieces per kernel call.
-            big = part.n > 262144
-            max_calls = 32 if big else 128
-            k_pieces = 8 if big else 16
+            k_pieces, max_calls = pick_kmax(part.n)
             (part, self.tally, counts, fc, fv, fn, sfields, sn, segbuf,
-             ctrl) = pallas_flight_chunk(
+             rb_out, ctrl) = pallas_flight_chunk(
                 part, self.tally, counts, fc, fv, fn, sfields, sn, segbuf,
-                zero_i, zero_i, self.cs_scatter, self.cs_absorb, self.geom,
+                zero_i, zero_i, rbuf if use_walker else None,
+                self.cs_scatter, self.cs_absorb, self.geom,
                 master_key, inv_ntotal, max_calls, k_pieces=k_pieces,
                 tile=TILE, pair_cap=PCAP, interpret=interpret,
-                use_ring_walker=use_walker)
+                use_ring_walker=use_walker, ntx=ntx, nty=nty,
+                seg_plane=use_walker)
+            if use_walker:
+                # Ring-direct in-loop walker: segments rasterized into
+                # rbuf INSIDE the chunk program; rings are empty at every
+                # chunk exit by construction (npend is always 0), so the
+                # compaction/final paths skip their re-drain checks.
+                rbuf = rb_out
             # ONE control fetch per chunk: [done, sbase, spairs, n_work,
             # npend] packed device-side (separate scalar reads each cost
             # a tunnel round trip).
@@ -839,14 +855,7 @@ class Simulation(SimulationBase):
             if sel is None:
                 full = part
             t1 = _time.perf_counter()
-            if use_walker:
-                # Ring-direct: segments never leave the rings; the chunk
-                # returned because ring pressure stalled progress (or the
-                # census finished) — drain straight from the ring planes.
-                # After this the rings are ALWAYS empty (host-known), so
-                # the compaction/final paths skip their re-drain checks.
-                rbuf, sfields, sn = drain_segs(rbuf, sfields, sn, npend)
-            else:
+            if not use_walker:
                 rbuf = raster(rbuf, segbuf, nseg, npairs)
             phases["sweep"] += t1 - t0
             phases["raster"] += _time.perf_counter() - t1
@@ -899,7 +908,7 @@ class Simulation(SimulationBase):
                     fc, fv, fn = make_rings(target, tally_dt,
                                             ring_slots=32)
                     sfields, sn = make_seg_ring(target, self.dtype,
-                                                s_slots=8)
+                                                s_slots=seg_slots(target))
                     if dbg:
                         jax.tree_util.tree_map(lambda a: a, part)
                         phases["compact_select"] = phases.get(

@@ -57,8 +57,8 @@ def _block_rows(n: int) -> int:
 
 def _kernel(geom: Geometry, scatter_tab: CrossSection,
             absorb_tab: CrossSection, inv_ntotal: float, k_pieces: int,
-            f_slots: int, s_slots: int, tally_dtype, windowed, mk_ref,
-            *refs):
+            f_slots: int, s_slots: int, tally_dtype, windowed, seg_plane,
+            mk_ref, *refs):
     in_refs = refs[:_NF]
     fc_in, fv_in, fn_in = refs[_NF:_NF + 3]
     sring_in = refs[_NF + 3:_NF + 3 + _SEGF]
@@ -90,9 +90,13 @@ def _kernel(geom: Geometry, scatter_tab: CrossSection,
 
     nfac = jnp.zeros(state.x.shape, jnp.uint32)
     ncol = jnp.zeros(state.x.shape, jnp.int32)
-    for _ in range(k_pieces):
-        # A piece needs up to 2 flush slots and 1 segment slot.
-        gate = (fslot < f_slots - 1) & (sslot < s_slots)
+    for p in range(k_pieces):
+        # A piece needs up to 2 flush slots and (count mode) 1 segment
+        # slot; piece-plane segment rings always have room (plane p is
+        # piece p's own), so only the flush ring gates.
+        gate = fslot < f_slots - 1
+        if not seg_plane:
+            gate = gate & (sslot < s_slots)
         (state, f1, c1, v1, f2, c2, v2, emit, gx0, gy0, gx1, gy1, kk,
          nf_lane, is_coll) = flight_core(state, geom, scatter_tab,
                                          absorb_tab, mk, inv_ntotal,
@@ -109,10 +113,23 @@ def _kernel(geom: Geometry, scatter_tab: CrossSection,
             fv_rows[s] = jnp.where(hit, v2, fv_rows[s])
         fslot = fslot + f2.astype(jnp.int32)
         seg_vals = (gx0, gy0, gx1, gy1, kk)
-        for s in range(s_slots):
-            hit = emit & (sslot == s)
-            for f in range(_SEGF):
-                sg_rows[f][s] = jnp.where(hit, seg_vals[f], sg_rows[f][s])
+        if seg_plane:
+            # Piece-plane append: piece p owns plane p outright — the
+            # coords are stored unconditionally (kk == 0 is the walker's
+            # skip sentinel, so stale coords are inert), replacing the
+            # s_slots x 5 where-ladder with a single masked write.  The
+            # caller MUST drain the rings after every kernel call (the
+            # next call overwrites plane p).
+            for f in range(_SEGF - 1):
+                sg_rows[f][p] = seg_vals[f]
+            sg_rows[_SEGF - 1][p] = jnp.where(
+                emit, kk, jnp.zeros_like(kk))
+        else:
+            for s in range(s_slots):
+                hit = emit & (sslot == s)
+                for f in range(_SEGF):
+                    sg_rows[f][s] = jnp.where(hit, seg_vals[f],
+                                              sg_rows[f][s])
         sslot = sslot + emit.astype(jnp.int32)
         nfac = nfac + nf_lane
         ncol = ncol + is_coll.astype(jnp.int32)
@@ -139,7 +156,7 @@ def pallas_flight_multi(state: ParticleState, fring, sring,
                         absorb_tab: CrossSection, geom: Geometry,
                         master_key, inv_ntotal: float, tally_dtype_arr,
                         k_pieces: int = 8, interpret: bool = False,
-                        x_off=None, y_off=None):
+                        x_off=None, y_off=None, seg_plane: bool = False):
     """Advance every lane through k_pieces flight pieces in one kernel.
 
     fring = (cells (Sf,N) i32, vals (Sf,N), count (N,) i32) — pending
@@ -147,6 +164,9 @@ def pallas_flight_multi(state: ParticleState, fring, sring,
     sring = (5 x (Ss,N) f32 fields, count (N,) i32) — pending segments.
     `x_off`/`y_off` (traced int32 scalars) enable the spatial window
     (see flight_core) — shipped to the kernel through the SMEM scalar row.
+    `seg_plane`: piece p writes segment plane p directly (no slot-count
+    ladder; kk == 0 marks empty entries); requires k_pieces <= s_slots,
+    rings empty on entry, and a drain after EVERY call.
     Returns (state', fring', sring', nfacets (hi,lo), ncollisions_u32).
     """
     if geom.rects is None or not geom.dx:
@@ -160,6 +180,9 @@ def pallas_flight_multi(state: ParticleState, fring, sring,
     sfields, sn = sring
     f_slots = fc.shape[0]
     s_slots = sfields[0].shape[0]
+    if seg_plane and k_pieces > s_slots:
+        raise ValueError(f"seg_plane needs k_pieces ({k_pieces}) <= "
+                         f"s_slots ({s_slots})")
 
     def shape2(a):
         return a.reshape(n // _LANES, _LANES)
@@ -218,7 +241,8 @@ def pallas_flight_multi(state: ParticleState, fring, sring,
 
     out = pl.pallas_call(
         partial(_kernel, geom, scatter_tab, absorb_tab, inv_ntotal,
-                k_pieces, f_slots, s_slots, tally_dtype, windowed),
+                k_pieces, f_slots, s_slots, tally_dtype, windowed,
+                seg_plane),
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [state_spec] * _NF + [fring_spec, fring_spec, state_spec]
@@ -321,7 +345,9 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
                              pair_cap: int = 8 * 1024 * 1024,
                              interpret: bool = False,
                              x_off=None, y_off=None,
-                             use_ring_walker: bool = False):
+                             use_ring_walker: bool = False,
+                             rbuf=None, ntx: int = 0, nty: int = 0,
+                             seg_plane: bool = False):
     """Fused flight chunk: kernel calls + in-loop ring drains.
 
     Flush rings drain straight into the tally (pallas_sweep._drain_rings).
@@ -332,18 +358,38 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
     raster.rasterize_walk_rings (no extraction scatter, no flat buffer).
     Rings persist across chunks via the caller-owned arrays.
 
+    With `rbuf` (the padded (nty*tile, ntx*tile) f32 raster buffer) the
+    walker drain moves INSIDE the chunk loop: whenever a kernel call
+    leaves ring pressure that would otherwise stall progress, the
+    VMEM-resident walker kernel (raster._walk_call) rasterizes the rings
+    in the same XLA program — segment pressure then never forces a chunk
+    exit (each exit costs a ~33 ms host round trip through the axon
+    tunnel plus a separate drain dispatch), so the chunk runs until
+    census/migration work is exhausted or max_calls.  Rings are empty at
+    every chunk exit by construction.
+
     Unjitted (shard_map-composable); `x_off`/`y_off` activate the
     spatial window (out-of-window lanes freeze and don't count as work).
-    Returns (..., ncalls*k_pieces, n_work, nseg_pending) — n_work the
-    workable-lane count (compaction live count for unwindowed callers).
+    Returns (..., rbuf_or_None, ncalls*k_pieces, n_work, nseg_pending) —
+    n_work the workable-lane count (compaction live count for unwindowed
+    callers).
     """
     from .pallas_sweep import _drain_rings
+    from .raster import rasterize_walk_rings_impl
 
     SCAP = segbuf.shape[0]
     n = state.x.shape[0]
     s_slots = sfields[0].shape[0]
     pause_budget = max(n // 2048, 1)
     inv_tile = np.float32(1.0 / tile)
+    in_loop = rbuf is not None
+    if in_loop and not use_ring_walker:
+        raise ValueError("rbuf (in-loop walker drain) requires "
+                         "use_ring_walker")
+    if seg_plane and not in_loop:
+        # Piece-plane rings are overwritten by the NEXT kernel call, so
+        # they are only sound with the guaranteed in-loop drain cadence.
+        raise ValueError("seg_plane requires the in-loop walker (rbuf)")
 
     def working(s):
         w = (~s.dead) & (s.dt_to_census > 0)
@@ -355,16 +401,24 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
             w = w & (ly >= 0) & (ly < geom.ny)
         return w
 
+    def seg_drain(op):
+        rb, sf, sn = op
+        rb, (sf, sn) = rasterize_walk_rings_impl(
+            rb, sf, sn, tile=tile, ntx=ntx, nty=nty, interpret=interpret,
+            kk_authoritative=seg_plane)
+        return rb, sf, sn
+
     def cond(carry):
-        (s, t, c, fc, fv, fn, sf, sn, sb, base, sp, it, full) = carry
+        (s, t, c, fc, fv, fn, sf, sn, sb, base, sp, rb, it, full) = carry
         return jnp.any(working(s)) & (it < max_calls) & (~full)
 
     def body(carry):
-        (s, t, c, fc, fv, fn, sf, sn, sb, base, sp, it, full) = carry
+        (s, t, c, fc, fv, fn, sf, sn, sb, base, sp, rb, it, full) = carry
         s, (fc, fv, fn), (sf, sn), nfac, ncol = pallas_flight_multi(
             s, (fc, fv, fn), (sf, sn), scatter_tab, absorb_tab, geom,
             master_key, inv_ntotal, t, k_pieces=k_pieces,
-            interpret=interpret, x_off=x_off, y_off=y_off)
+            interpret=interpret, x_off=x_off, y_off=y_off,
+            seg_plane=seg_plane)
         w = working(s)
         f_full = fn >= fc.shape[0] - 1
         s_full = sn >= s_slots
@@ -380,14 +434,29 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
             (t, fc, fv, fn))
 
         if use_ring_walker:
-            # Segment rings are the caller's: exit when they are the
-            # thing stalling progress (flush rings just drained).  A
-            # ring-full lane just idles its kernel slots, so the exit
-            # threshold is much lazier than the drain cadence — each
-            # exit costs a host round trip plus a full ring scan.
             seg_paused = jnp.count_nonzero(w & s_full)
-            full = ((seg_paused > jnp.maximum(n // 8, 1))
-                    | (jnp.any(w) & ~jnp.any(w & ~s_full)))
+            seg_pressure = ((seg_paused > pause_budget)
+                            | (jnp.any(w) & ~jnp.any(w & ~s_full)))
+            if seg_plane:
+                # Piece-plane rings are overwritten by the next call:
+                # ANY emission this call forces the drain.
+                seg_pressure = jnp.ones((), bool)
+            if in_loop:
+                # In-loop walker drain: rasterize the rings in the SAME
+                # XLA program whenever ring pressure would stall
+                # progress; segment pressure then never forces a chunk
+                # exit (each exit is a ~33 ms host round trip plus a
+                # separate drain dispatch through the axon tunnel).
+                rb, sf, sn = lax.cond(
+                    seg_pressure & jnp.any(sn > 0),
+                    seg_drain, lambda op: op, (rb, sf, sn))
+            else:
+                # Segment rings are the caller's: exit when they are the
+                # thing stalling progress (flush rings just drained).  A
+                # ring-full lane just idles its kernel slots, so the
+                # exit threshold is much lazier than the drain cadence.
+                full = ((seg_paused > jnp.maximum(n // 8, 1))
+                        | (jnp.any(w) & ~jnp.any(w & ~s_full)))
             nf_hi, nf_lo = u64_sum_u32(nfac, width=2048)
             fh, fl = rng._add64(c.nfacets_hi, c.nfacets_lo, nf_hi, nf_lo)
             nc_hi, nc_lo = u64_sum_u32(ncol.astype(jnp.uint32),
@@ -395,7 +464,7 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
             ch, cl = rng._add64(c.ncollisions_hi, c.ncollisions_lo,
                                 nc_hi, nc_lo)
             c = EventCounts(fh, fl, ch, cl)
-            return (s, t, c, fc, fv, fn, sf, sn, sb, base, sp, it + 1,
+            return (s, t, c, fc, fv, fn, sf, sn, sb, base, sp, rb, it + 1,
                     full)
 
         def extract(op):
@@ -423,12 +492,23 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
         ch, cl = rng._add64(c.ncollisions_hi, c.ncollisions_lo, nc_hi,
                             nc_lo)
         c = EventCounts(fh, fl, ch, cl)
-        return (s, t, c, fc, fv, fn, sf, sn, sb, base, sp, it + 1, full)
+        return (s, t, c, fc, fv, fn, sf, sn, sb, base, sp, rb, it + 1,
+                full)
 
+    rb0 = rbuf if in_loop else jnp.zeros((), jnp.float32)
     carry = (state, tally, counts, fc, fv, fn, sfields, sn, segbuf, sbase,
-             spairs, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+             spairs, rb0, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
     (state, tally, counts, fc, fv, fn, sfields, sn, segbuf, sbase, spairs,
-     ncalls, _) = lax.while_loop(cond, body, carry)
+     rbuf, ncalls, _) = lax.while_loop(cond, body, carry)
+    if in_loop:
+        # Final drain so rings are ALWAYS empty at chunk exit (the
+        # pressure-gated in-loop cadence can leave a partial ring when
+        # the census finishes or max_calls hits).
+        rbuf, sfields, sn = lax.cond(
+            jnp.any(sn > 0), seg_drain, lambda op: op,
+            (rbuf, sfields, sn))
+    else:
+        rbuf = None
     # Working-lane COUNT: in windowed mode, workable lanes on THIS shard
     # (frozen out-of-window lanes are the caller's migration work);
     # single-device callers reuse it as the compaction live count,
@@ -436,36 +516,44 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
     n_work = jnp.count_nonzero(working(state)).astype(jnp.int32)
     nseg_pending = jnp.sum(jnp.minimum(sn, s_slots), dtype=jnp.int32)
     return (state, tally, counts, fc, fv, fn, sfields, sn, segbuf, sbase,
-            spairs, ncalls * k_pieces, n_work, nseg_pending)
+            spairs, rbuf, ncalls * k_pieces, n_work, nseg_pending)
 
 
 @partial(jax.jit, static_argnames=("geom", "inv_ntotal", "max_calls",
                                    "k_pieces", "tile", "pair_cap",
-                                   "interpret", "use_ring_walker"),
-         donate_argnums=(0, 1, 3, 4, 5, 6, 7, 8))
+                                   "interpret", "use_ring_walker",
+                                   "ntx", "nty", "seg_plane"),
+         donate_argnums=(0, 1, 3, 4, 5, 6, 7, 8, 11))
 def pallas_flight_chunk(state: ParticleState, tally, counts: EventCounts,
                         fc, fv, fn, sfields, sn, segbuf, sbase, spairs,
-                        scatter_tab: CrossSection,
+                        rbuf, scatter_tab: CrossSection,
                         absorb_tab: CrossSection, geom: Geometry,
                         master_key, inv_ntotal: float, max_calls: int,
                         k_pieces: int = 8, tile: int = 128,
                         pair_cap: int = 8 * 1024 * 1024,
                         interpret: bool = False, x_off=None, y_off=None,
-                        use_ring_walker: bool = False):
+                        use_ring_walker: bool = False,
+                        ntx: int = 0, nty: int = 0,
+                        seg_plane: bool = False):
     """Jitted single-device wrapper of pallas_flight_chunk_impl.
 
-    The five control scalars come back PACKED as one i32 vector
+    `rbuf` — the padded (nty*tile, ntx*tile) f32 raster buffer, or None
+    — activates the in-loop walker drain (walker mode only); rings are
+    then empty at every chunk exit.  The five control scalars come back
+    PACKED as one i32 vector
     [nsweeps, sbase, spairs, n_work, nseg_pending] so the host chains on
     a single small fetch per chunk (each separate scalar fetch is its
     own round trip through the axon tunnel).
     """
     (state, tally, counts, fc, fv, fn, sfields, sn, segbuf, sbase, spairs,
-     done, n_work, npend) = pallas_flight_chunk_impl(
+     rbuf, done, n_work, npend) = pallas_flight_chunk_impl(
         state, tally, counts, fc, fv, fn, sfields, sn, segbuf, sbase,
         spairs, scatter_tab, absorb_tab, geom, master_key, inv_ntotal,
         max_calls, k_pieces=k_pieces, tile=tile, pair_cap=pair_cap,
         interpret=interpret, x_off=x_off, y_off=y_off,
-        use_ring_walker=use_ring_walker)
+        use_ring_walker=use_ring_walker, rbuf=rbuf, ntx=ntx, nty=nty,
+        seg_plane=seg_plane)
     ctrl = jnp.stack([done.astype(jnp.int32), sbase, spairs, n_work,
                       npend])
-    return (state, tally, counts, fc, fv, fn, sfields, sn, segbuf, ctrl)
+    return (state, tally, counts, fc, fv, fn, sfields, sn, segbuf, rbuf,
+            ctrl)

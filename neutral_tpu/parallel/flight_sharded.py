@@ -326,8 +326,8 @@ class FlightDecomposedMixin:
         def shard_fn(s, t_row, fcr, fvr, fnr, sf, snn, sb, rb):
             x_off, y_off = self._dyn_offsets()
             z = jnp.zeros((), jnp.int32)
-            (s, t, c, fcr, fvr, fnr, sf, snn, sb, sbase, spairs, done,
-             _w, _npend) = pallas_flight_chunk_impl(
+            (s, t, c, fcr, fvr, fnr, sf, snn, sb, sbase, spairs, _rb,
+             done, _w, _npend) = pallas_flight_chunk_impl(
                 s, t_row[0], EventCounts.zeros(), fcr, fvr, fnr, sf, snn,
                 sb, z, z, self.cs_scatter, self.cs_absorb, geom, mk,
                 1.0 / self.cfg.nparticles, max_calls, k_pieces=k_pieces,

@@ -566,21 +566,28 @@ def rasterize_walk_impl(buf, segbuf, nseg, *, tile: int = TILE, ntx: int,
 
 def rasterize_walk_rings_impl(buf, sfields, sn, *, tile: int = TILE,
                               ntx: int, nty: int,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              kk_authoritative: bool = False):
     """Walker raster drain straight from the per-lane segment rings.
 
     `sfields` are the 5 (S, N) ring planes [gx0, gy0, gx1, gy1, kk] and
     `sn` the per-lane counts (pallas_flight.make_seg_ring).  No
     extraction scatter, no flat segment buffer: the kernel streams the
     ring planes and skips entries whose kk is 0 — entries past a lane's
-    count are masked to 0 here, so stale slots never deposit.  Returns
-    (buf', reset (sfields, sn)) with the rings emptied (kk plane zeroed
-    = the skip sentinel; other planes keep stale values, which the
-    flight kernel overwrites on append).
+    count are masked to 0 here, so stale slots never deposit.  With
+    `kk_authoritative` (piece-plane rings: entries live at their piece's
+    plane, not at slot < count) the count mask is skipped — the flight
+    kernel already wrote kk == 0 into every non-emitting plane entry.
+    Returns (buf', reset (sfields, sn)) with the rings emptied (kk plane
+    zeroed = the skip sentinel; other planes keep stale values, which
+    the flight kernel overwrites on append).
     """
     S, n = sfields[0].shape
-    valid = (jnp.arange(S, dtype=jnp.int32)[:, None] < sn[None, :])
-    kk = jnp.where(valid, sfields[4], 0.0)
+    if kk_authoritative:
+        kk = sfields[4]
+    else:
+        valid = (jnp.arange(S, dtype=jnp.int32)[:, None] < sn[None, :])
+        kk = jnp.where(valid, sfields[4], 0.0)
     m = S * n
     pad = (-m) % _CHUNK
     zrow = jnp.zeros(m + pad, sfields[0].dtype)

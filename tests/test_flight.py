@@ -309,6 +309,29 @@ def test_flight_f32_within_tolerance_of_f64():
     assert abs(t_f.sum() - t_x.sum()) / abs(t_x.sum()) < 1e-3
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("kind", ["stream", "csp"])
+def test_step_flight_fused_interpret_matches_xla(kind):
+    """Single-device fused flight step (interpret Mosaic kernels, incl.
+    the IN-LOOP walker drain) == the XLA flight engine: exact event
+    counts, tally to f32 accumulation rounding.  32x32 mesh => the
+    walker path (ntx=nty=1) is the one exercised."""
+    cfg = make_cfg(kind, n=256, nx=32, iters=1, dtype="float32")
+    t_x, s_x = _run(cfg, "flight")          # XLA flight path on CPU
+
+    sim = Simulation(cfg.with_(engine="flight"), quiet=True)
+    # Interpret executes Mosaic per-op: keep the call/piece counts tiny
+    # (many chunk re-entries still cover the in-loop drain cadence).
+    sim.flight_max_calls = 2
+    sim.flight_k_pieces = 2
+    m = sim._step_flight_fused(1, interpret=True)
+    assert (m.nfacets, m.ncollisions, m.nprocessed) == s_x[0]
+    t_f = np.asarray(sim.tally, np.float64)
+    np.testing.assert_allclose(t_f.sum(), t_x.sum(), rtol=1e-6)
+    np.testing.assert_allclose(t_f, t_x.reshape(t_f.shape), rtol=1e-4,
+                               atol=1e-12 * max(abs(t_x.sum()), 1.0))
+
+
 def _fused_kernel_state(n=256, nx=32):
     """Small mid-flight state + geometry for kernel unit tests."""
     import jax.numpy as jnp
@@ -399,6 +422,79 @@ def test_pallas_flight_multi_interpret_matches_core(monkeypatch):
                                    atol=1e-32)
     np.testing.assert_array_equal(np.asarray(nfac), np.asarray(nfac_ref))
     np.testing.assert_array_equal(np.asarray(ncol), np.asarray(ncol_ref))
+
+
+@pytest.mark.slow
+def test_pallas_flight_multi_seg_plane_interpret_matches_core():
+    """Piece-plane segment rings: one fused call (interpret) == k XLA
+    flight_core steps with plane-p appends — piece p's segment lands in
+    plane p with kk == 0 for non-emitting pieces, and the flush rings
+    keep the count-ladder semantics with a flush-only gate."""
+    import jax.numpy as jnp
+    from neutral_tpu.flight import flight_core
+    from neutral_tpu.pallas_flight import (make_seg_ring,
+                                           pallas_flight_multi)
+    from neutral_tpu.pallas_sweep import make_rings
+
+    k_pieces, f_slots, s_slots = 4, 8, 4
+    sim, state, cfg = _fused_kernel_state()
+    mk = jnp.uint32(1)
+    inv = 1.0 / cfg.nparticles
+    tally = jnp.zeros(1, jnp.float32)
+
+    fring = make_rings(state.n, jnp.float32, ring_slots=f_slots)
+    sring = make_seg_ring(state.n, jnp.float32, s_slots=s_slots)
+    out_state, out_fring, out_sring, nfac, ncol = pallas_flight_multi(
+        state, fring, sring, sim.cs_scatter, sim.cs_absorb, sim.geom, mk,
+        inv, tally, k_pieces=k_pieces, interpret=True, seg_plane=True)
+
+    s = state
+    fc, fv, fn = make_rings(state.n, jnp.float32, ring_slots=f_slots)
+    (sf, sn) = make_seg_ring(state.n, jnp.float32, s_slots=s_slots)
+    sf = list(sf)
+    for p in range(k_pieces):
+        gate = fn < f_slots - 1
+        (s, f1, c1, v1, f2, c2, v2, emit, gx0, gy0, gx1, gy1, kk,
+         nf_lane, is_coll) = flight_core(s, sim.geom, sim.cs_scatter,
+                                         sim.cs_absorb, mk, inv,
+                                         jnp.float32, gate=gate)
+        for slot in range(f_slots):
+            hit = f1 & (fn == slot)
+            fc = fc.at[slot].set(jnp.where(hit, c1, fc[slot]))
+            fv = fv.at[slot].set(jnp.where(hit, v1, fv[slot]))
+        fn = fn + f1.astype(jnp.int32)
+        for slot in range(f_slots):
+            hit = f2 & (fn == slot)
+            fc = fc.at[slot].set(jnp.where(hit, c2, fc[slot]))
+            fv = fv.at[slot].set(jnp.where(hit, v2, fv[slot]))
+        fn = fn + f2.astype(jnp.int32)
+        for f, v in enumerate((gx0, gy0, gx1, gy1)):
+            sf[f] = sf[f].at[p].set(v)
+        sf[4] = sf[4].at[p].set(jnp.where(emit, kk, 0.0))
+        sn = sn + emit.astype(jnp.int32)
+
+    for f in out_state.__dataclass_fields__:
+        a = np.asarray(getattr(out_state, f))
+        b = np.asarray(getattr(s, f))
+        if a.dtype.kind in "iub":
+            np.testing.assert_array_equal(a, b, err_msg=f)
+        else:
+            np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-30,
+                                       err_msg=f)
+    np.testing.assert_array_equal(np.asarray(out_fring[2]), np.asarray(fn))
+    np.testing.assert_array_equal(np.asarray(out_fring[0]), np.asarray(fc))
+    np.testing.assert_array_equal(np.asarray(out_sring[1]), np.asarray(sn))
+    # kk == 0 entries are skip sentinels: only compare where kk != 0,
+    # but the kk plane itself must match everywhere (exactly the
+    # emitting (piece, lane) slots are nonzero).
+    kk_out = np.asarray(out_sring[0][4])
+    kk_ref = np.asarray(sf[4])
+    np.testing.assert_array_equal(kk_out != 0, kk_ref != 0)
+    live = kk_ref != 0
+    for f in range(5):
+        np.testing.assert_allclose(np.asarray(out_sring[0][f])[live],
+                                   np.asarray(sf[f])[live], rtol=2e-3,
+                                   atol=1e-32)
 
 
 def test_extract_segments_budget_gating():
