@@ -476,8 +476,8 @@ class Simulation(SimulationBase):
 
         use_pallas = self.use_pallas
         if use_pallas:
-            from .pallas_sweep import (drain_rings, make_rings,
-                                       pallas_sweep_chunk)
+            from .pallas_sweep import (compact_with_rings, drain_rings,
+                                       make_rings, pallas_sweep_chunk)
 
         import os
         import time as _time
@@ -573,20 +573,19 @@ class Simulation(SimulationBase):
                 # tail.
                 if target <= int(cap * 0.75):
                     if use_pallas:
-                        # Rings are lane-indexed: flush before reordering.
-                        td = _time.perf_counter()
-                        self.tally, rc, rv, rn = drain_rings(
-                            self.tally, rc, rv, rn)
-                        if dbg:
-                            _sync(self.tally)
-                        phases["ringdrain"] += _time.perf_counter() - td
-                    if sel is not None:
-                        full = merge_compacted(full, part, sel)
+                        # Fused: flush-ring drain (lane-indexed rings
+                        # must empty before reordering) + merge + select
+                        # + fresh rings, one dispatch.
+                        (full, part, sel, self.tally, rc, rv,
+                         rn) = compact_with_rings(
+                            full, part if sel is not None else None, sel,
+                            self.tally, rc, rv, rn, target=target)
                     else:
-                        full = part
-                    part, sel = select_working(full, target)
-                    if use_pallas:
-                        rc, rv, rn = make_rings(target, self.tally.dtype)
+                        if sel is not None:
+                            full = merge_compacted(full, part, sel)
+                        else:
+                            full = part
+                        part, sel = select_working(full, target)
                     if dbg:
                         _sync(part.x)
                 phases["compact"] += _time.perf_counter() - tc
@@ -738,8 +737,8 @@ class Simulation(SimulationBase):
         boundaries.  Rings are lane-indexed, so they are always empty
         (walker) or drained host-side (fallback) before lane compaction.
         """
-        from .pallas_flight import (extract_ring_segments, make_seg_ring,
-                                    pallas_flight_chunk)
+        from .pallas_flight import (compact_flight, extract_ring_segments,
+                                    make_seg_ring, pallas_flight_chunk)
         from .pallas_sweep import drain_rings, make_rings
         from .particles import merge_compacted, select_working
         from .raster import TILE, grid_shape, raster_drain, walker_fits
@@ -869,51 +868,29 @@ class Simulation(SimulationBase):
                 t2 = _time.perf_counter()
                 target = max(min_cap, 1 << (max(live, 1) - 1).bit_length())
                 if target <= cap // 2:
-                    ta = _time.perf_counter()
-                    # Rings are lane-indexed: empty them before reordering.
-                    self.tally, fc, fv, fn = drain_rings(self.tally, fc,
-                                                         fv, fn)
-                    if dbg:
-                        np.asarray(jax.device_get(self.tally[:1]))
-                        phases["compact_ringdrain"] = phases.get(
-                            "compact_ringdrain", 0.0) + (
-                            _time.perf_counter() - ta)
-                        ta2 = _time.perf_counter()
                     # Lane-indexed segment rings must be empty before
-                    # reordering.  Walker mode already emptied them at the
-                    # chunk exit above (host-known — no count dispatch);
-                    # only the extraction path can carry leftovers.
+                    # reordering.  Walker mode already emptied them
+                    # in-loop (host-known — no count dispatch); only the
+                    # extraction path can carry leftovers.
                     if not use_walker:
                         rbuf, sfields, sn = drain_segs(
                             rbuf, sfields, sn,
                             int(jnp.sum(jnp.minimum(sn,
                                                     sfields[0].shape[0]))))
-                    if dbg:
-                        phases["compact_extract"] = phases.get(
-                            "compact_extract", 0.0) + (
-                            _time.perf_counter() - ta2)
-                    if dbg:
-                        phases["compact_drain"] = phases.get(
-                            "compact_drain", 0.0) + (_time.perf_counter()
-                                                     - ta)
-                        ta = _time.perf_counter()
-                    if sel is not None:
-                        full = merge_compacted(full, part, sel)
-                    else:
-                        full = part
-                    part, sel = select_working(full, target)
-                    # Tail widths: deeper rings amortize the in-loop
-                    # drain cadence over more pieces (VMEM is plentiful
-                    # at these lane counts).
-                    fc, fv, fn = make_rings(target, tally_dt,
-                                            ring_slots=32)
-                    sfields, sn = make_seg_ring(target, self.dtype,
-                                                s_slots=seg_slots(target))
+                    # Fused: flush-ring drain + merge + select + fresh
+                    # rings in ONE dispatch.  Tail widths get deeper
+                    # flush rings (32 slots) to amortize the in-loop
+                    # drain cadence over more pieces.
+                    (full, part, sel, self.tally, fc, fv, fn, sfields,
+                     sn) = compact_flight(
+                        full, part if sel is not None else None, sel,
+                        self.tally, fc, fv, fn, target=target,
+                        ring_slots=32, s_slots=seg_slots(target))
                     if dbg:
                         jax.tree_util.tree_map(lambda a: a, part)
-                        phases["compact_select"] = phases.get(
-                            "compact_select", 0.0) + (_time.perf_counter()
-                                                      - ta)
+                        phases["compact_fused"] = phases.get(
+                            "compact_fused", 0.0) + (_time.perf_counter()
+                                                     - t2)
                 phases["compact"] += _time.perf_counter() - t2
         # final ring drains (skipped when the rings emptied in-loop)
         t3 = _time.perf_counter()

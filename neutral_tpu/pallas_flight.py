@@ -71,7 +71,6 @@ def _kernel(geom: Geometry, scatter_tab: CrossSection,
 
     vals = {f: r[:] for f, r in zip(_FIELDS, in_refs)}
     vals["dead"] = vals["dead"] != 0
-    state = ParticleState(**vals)
     mk = mk_ref[0, 0]
     if windowed:
         # Spatial-decomposition window origin (flight_core clamps rect
@@ -81,6 +80,45 @@ def _kernel(geom: Geometry, scatter_tab: CrossSection,
     else:
         x_off = y_off = None
 
+    # Block early-out: compaction front-packs working lanes, so trailing
+    # blocks can be entirely dead/censused/out-of-window — they skip the
+    # k-piece physics and copy through (see pallas_sweep._kernel).
+    blk_w = (~vals["dead"]) & (vals["dt_to_census"] > 0)
+    if windowed:
+        lx = vals["cellx"] - x_off
+        ly = vals["celly"] - y_off
+        blk_w = blk_w & (lx >= 0) & (lx < geom.nx)
+        blk_w = blk_w & (ly >= 0) & (ly < geom.ny)
+    any_work = jnp.any(blk_w)
+
+    @pl.when(jnp.logical_not(any_work))
+    def _skip_block():
+        for r_in, r in zip(in_refs, out_refs):
+            r[:] = r_in[:]
+        fc_out[:] = fc_in[:]
+        fv_out[:] = fv_in[:]
+        fn_out[:] = fn_in[:]
+        for f in range(_SEGF):
+            sring_out[f][:] = sring_in[f][:]
+        sn_out[:] = sn_in[:]
+        nfac_ref[:] = jnp.zeros(nfac_ref.shape, nfac_ref.dtype)
+        ncol_ref[:] = jnp.zeros(ncol_ref.shape, ncol_ref.dtype)
+
+    @pl.when(any_work)
+    def _run_block():
+        _kernel_body(geom, scatter_tab, absorb_tab, inv_ntotal, k_pieces,
+                     f_slots, s_slots, tally_dtype, seg_plane, vals, mk,
+                     x_off, y_off, fc_in, fv_in, fn_in, sring_in, sn_in,
+                     out_refs, fc_out, fv_out, fn_out, sring_out, sn_out,
+                     nfac_ref, ncol_ref)
+
+
+def _kernel_body(geom, scatter_tab, absorb_tab, inv_ntotal, k_pieces,
+                 f_slots, s_slots, tally_dtype, seg_plane, vals, mk,
+                 x_off, y_off, fc_in, fv_in, fn_in, sring_in, sn_in,
+                 out_refs, fc_out, fv_out, fn_out, sring_out, sn_out,
+                 nfac_ref, ncol_ref):
+    state = ParticleState(**vals)
     fc_rows = [fc_in[s] for s in range(f_slots)]
     fv_rows = [fv_in[s] for s in range(f_slots)]
     fslot = fn_in[:]
@@ -273,6 +311,31 @@ def pallas_flight_multi(state: ParticleState, fring, sring,
     nfac = out[_NF + 4 + _SEGF].reshape(n)
     ncol = out[_NF + 5 + _SEGF].reshape(n)
     return new_state, fring, (sfields, sn), nfac, ncol
+
+
+@partial(jax.jit, static_argnames=("target", "ring_slots", "s_slots"),
+         donate_argnums=(0, 1, 3, 4, 5, 6))
+def compact_flight(full: ParticleState, part, sel, tally, fc, fv, fn, *,
+                   target: int, ring_slots: int = 32, s_slots: int = 8):
+    """Fused flight compaction: flush-ring drain + merge + reselect +
+    fresh flush AND segment rings, in ONE dispatch (see
+    pallas_sweep.compact_with_rings; each separate dispatch through the
+    axon tunnel carries fixed submission cost).  Caller must ensure the
+    SEGMENT rings are already empty (walker mode guarantees this at
+    every chunk exit; the sorted-pair fallback drains them host-side
+    first).  Returns (full', part'@target, sel', tally', fc, fv, fn,
+    sfields, sn).
+    """
+    from .pallas_sweep import drain_rings, make_rings
+    from .particles import merge_compacted, select_working
+
+    tally, _, _, _ = drain_rings(tally, fc, fv, fn)
+    if sel is not None:
+        full = merge_compacted(full, part, sel)
+    part, sel = select_working(full, target)
+    fc, fv, fn = make_rings(target, tally.dtype, ring_slots)
+    sfields, sn = make_seg_ring(target, part.dtype, s_slots)
+    return full, part, sel, tally, fc, fv, fn, sfields, sn
 
 
 def make_seg_ring(n: int, dtype, s_slots: int = 4):

@@ -66,47 +66,76 @@ def _kernel(geom: Geometry, scatter_tab: CrossSection,
 
     vals = {f: r[:] for f, r in zip(_FIELDS, in_refs)}
     vals["dead"] = vals["dead"] != 0
-    state = ParticleState(**vals)
     mk = mk_ref[0, 0]
     x_off = xoff_ref[0, 0] if has_col else None
     y_off = yoff_ref[0, 0] if has_slab else None
 
-    # Ring rows held as separate 2D values (a `.at[s].set` on a loaded 3D
-    # array would lower to a scatter, which Mosaic has no primitive for).
-    rc_rows = [rc_in[s] for s in range(ring_slots)]
-    rv_rows = [rv_in[s] for s in range(ring_slots)]
-    slot = rn_in[:]
+    # Block early-out: compaction front-packs working lanes, so between
+    # ladder steps the trailing blocks are entirely dead/censused (up to
+    # half the width right after a census cliff).  Those blocks skip the
+    # k-event physics — threefry-20 dominates the per-event cost — and
+    # just copy their state through.
+    blk_w = (~vals["dead"]) & (vals["dt_to_census"] > 0)
+    if has_col:
+        lx = vals["cellx"] - x_off
+        blk_w = blk_w & (lx >= 0) & (lx < geom.nx)
+    if has_slab:
+        ly = vals["celly"] - y_off
+        blk_w = blk_w & (ly >= 0) & (ly < geom.ny)
+    any_work = jnp.any(blk_w)
 
-    nf = jnp.zeros(state.x.shape, jnp.int32)
-    nc = jnp.zeros(state.x.shape, jnp.int32)
-    for _ in range(k_events):
-        # Lanes whose ring could not take one more flush pause until the
-        # caller drains (their whole event is deferred — bitwise-safe).
-        gate = slot < ring_slots
-        state, flush, flat_cell, contrib, is_facet, is_coll = sweep_core(
-            state, None, geom, scatter_tab, absorb_tab, mk, inv_ntotal,
-            tally_dtype, y_off_dyn=y_off, gate=gate, x_off_dyn=x_off)
-        # Ring insert: per-lane dynamic slot via an S-way select chain
-        # (everything stays in VMEM; no scatter).
+    @pl.when(any_work)
+    def _run_block():
+        state = ParticleState(**vals)
+        # Ring rows held as separate 2D values (a `.at[s].set` on a
+        # loaded 3D array would lower to a scatter, which Mosaic has no
+        # primitive for).
+        rc_rows = [rc_in[s] for s in range(ring_slots)]
+        rv_rows = [rv_in[s] for s in range(ring_slots)]
+        slot = rn_in[:]
+
+        nf = jnp.zeros(state.x.shape, jnp.int32)
+        nc = jnp.zeros(state.x.shape, jnp.int32)
+        for _ in range(k_events):
+            # Lanes whose ring could not take one more flush pause until
+            # the caller drains (their whole event is deferred —
+            # bitwise-safe).
+            gate = slot < ring_slots
+            state, flush, flat_cell, contrib, is_facet, is_coll = \
+                sweep_core(state, None, geom, scatter_tab, absorb_tab,
+                           mk, inv_ntotal, tally_dtype, y_off_dyn=y_off,
+                           gate=gate, x_off_dyn=x_off)
+            # Ring insert: per-lane dynamic slot via an S-way select
+            # chain (everything stays in VMEM; no scatter).
+            for s in range(ring_slots):
+                hit = flush & (slot == s)
+                rc_rows[s] = jnp.where(hit, flat_cell, rc_rows[s])
+                rv_rows[s] = jnp.where(hit, contrib, rv_rows[s])
+            slot = slot + flush.astype(jnp.int32)
+            nf += is_facet.astype(jnp.int32)
+            nc += is_coll.astype(jnp.int32)
+
+        for f, r in zip(_FIELDS, out_refs):
+            v = getattr(state, f)
+            if f == "dead":
+                v = v.astype(jnp.int32)
+            r[:] = v
         for s in range(ring_slots):
-            hit = flush & (slot == s)
-            rc_rows[s] = jnp.where(hit, flat_cell, rc_rows[s])
-            rv_rows[s] = jnp.where(hit, contrib, rv_rows[s])
-        slot = slot + flush.astype(jnp.int32)
-        nf += is_facet.astype(jnp.int32)
-        nc += is_coll.astype(jnp.int32)
+            rc_out[s] = rc_rows[s]
+            rv_out[s] = rv_rows[s]
+        rn_out[:] = slot
+        nf_ref[:] = nf
+        nc_ref[:] = nc
 
-    for f, r in zip(_FIELDS, out_refs):
-        v = getattr(state, f)
-        if f == "dead":
-            v = v.astype(jnp.int32)
-        r[:] = v
-    for s in range(ring_slots):
-        rc_out[s] = rc_rows[s]
-        rv_out[s] = rv_rows[s]
-    rn_out[:] = slot
-    nf_ref[:] = nf
-    nc_ref[:] = nc
+    @pl.when(jnp.logical_not(any_work))
+    def _skip_block():
+        for r_in, r in zip(in_refs, out_refs):
+            r[:] = r_in[:]
+        rc_out[:] = rc_in[:]
+        rv_out[:] = rv_in[:]
+        rn_out[:] = rn_in[:]
+        nf_ref[:] = jnp.zeros(nf_ref.shape, nf_ref.dtype)
+        nc_ref[:] = jnp.zeros(nc_ref.shape, nc_ref.dtype)
 
 
 def pallas_multi_sweep(state: ParticleState, ring_cell, ring_val, ring_cnt,
@@ -306,6 +335,31 @@ def drain_rings(tally, ring_cell, ring_val, ring_cnt):
         lambda op: op,
         (tally, ring_cell, ring_val, ring_cnt))
     return tally, rc, rv, rn
+
+
+@partial(jax.jit, static_argnames=("target", "ring_slots"),
+         donate_argnums=(0, 1, 3, 4, 5, 6))
+def compact_with_rings(full: ParticleState, part, sel, tally,
+                       ring_cell, ring_val, ring_cnt, *, target: int,
+                       ring_slots: int = 16):
+    """Fused compaction: drain rings + merge + reselect + fresh rings.
+
+    One dispatch instead of four — each separate dispatch through the
+    axon tunnel carries fixed submission cost, and the death-tail ladder
+    compacts several times per step.  `part`/`sel` are None on the first
+    compaction (when `full` IS the working set); rings are lane-indexed,
+    so they are drained into the tally before any reordering, exactly as
+    the unfused sequence did.  Returns
+    (full', part'@target, sel', tally', fresh rings).
+    """
+    from .particles import merge_compacted, select_working
+
+    tally, _, _, _ = drain_rings(tally, ring_cell, ring_val, ring_cnt)
+    if sel is not None:
+        full = merge_compacted(full, part, sel)
+    part, sel = select_working(full, target)
+    rc, rv, rn = make_rings(target, tally.dtype, ring_slots)
+    return full, part, sel, tally, rc, rv, rn
 
 
 @partial(jax.jit, static_argnames=("geom", "inv_ntotal", "max_sweeps",

@@ -317,6 +317,11 @@ def test_step_flight_fused_interpret_matches_xla(kind):
     counts, tally to f32 accumulation rounding.  32x32 mesh => the
     walker path (ntx=nty=1) is the one exercised."""
     cfg = make_cfg(kind, n=256, nx=32, iters=1, dtype="float32")
+    if kind == "csp":
+        # Long census: the absorber kills lanes progressively, so the
+        # fused compaction ladder (compact_flight) actually fires
+        # (verified: two ladder steps at this dt).
+        cfg = cfg.with_(dt=1e-5)
     t_x, s_x = _run(cfg, "flight")          # XLA flight path on CPU
 
     sim = Simulation(cfg.with_(engine="flight"), quiet=True)
@@ -324,12 +329,24 @@ def test_step_flight_fused_interpret_matches_xla(kind):
     # (many chunk re-entries still cover the in-loop drain cadence).
     sim.flight_max_calls = 2
     sim.flight_k_pieces = 2
+    # Let the death tail trigger the fused compaction ladder
+    # (compact_flight) under the driver: csp's absorber kills lanes
+    # progressively, so live < cap//2 happens mid-step.
+    sim.compact_min = 128
     m = sim._step_flight_fused(1, interpret=True)
     assert (m.nfacets, m.ncollisions, m.nprocessed) == s_x[0]
     t_f = np.asarray(sim.tally, np.float64)
+    t_r = t_x.reshape(t_f.shape)
     np.testing.assert_allclose(t_f.sum(), t_x.sum(), rtol=1e-6)
-    np.testing.assert_allclose(t_f, t_x.reshape(t_f.shape), rtol=1e-4,
-                               atol=1e-12 * max(abs(t_x.sum()), 1.0))
+    # Per-cell agreement on SIGNIFICANT cells only: sliver cells at
+    # region boundaries hold K * (difference of O(1) f32 distances) —
+    # pure cancellation noise, ~1e-9 of the total mass, on which the
+    # engines legitimately disagree by 100%+ relative (verified: the
+    # pre-fused XLA engines disagree there too).  A real misplacement
+    # bug moves significant mass and still trips both checks below.
+    big = np.abs(t_r) > 1e-6 * np.abs(t_r).max()
+    np.testing.assert_allclose(t_f[big], t_r[big], rtol=1e-4)
+    assert np.all(np.abs(t_f[~big]) < 1e-5 * np.abs(t_r).max())
 
 
 def _fused_kernel_state(n=256, nx=32):

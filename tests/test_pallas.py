@@ -86,3 +86,105 @@ def test_driver_engine_pallas_interpret_unused_on_cpu():
     sim = Simulation(cfg, quiet=True)
     assert sim.use_pallas is False
     sim.step(1)  # runs the XLA path end-to-end
+
+
+def test_compact_with_rings_matches_unfused():
+    """Fused drain+merge+select+fresh-rings == the unfused sequence,
+    bitwise (pure XLA — no kernel involved)."""
+    from neutral_tpu.particles import merge_compacted, select_working
+    from neutral_tpu.pallas_sweep import (compact_with_rings, drain_rings,
+                                          make_rings)
+
+    cfg, sim, st, mk = make_setup(nparticles=2048)
+    n = st.x.shape[0]
+    rng = np.random.default_rng(3)
+    # Kill/census a majority so select has real work to do.
+    dead = jnp.asarray(rng.random(n) < 0.5)
+    dt_c = jnp.where(jnp.asarray(rng.random(n) < 0.3), 0.0, st.dt_to_census)
+    full0 = jax.tree_util.tree_map(lambda a: a, st)
+    full0 = type(st)(**{**{f: getattr(st, f)
+                           for f in st.__dataclass_fields__},
+                        "dead": dead, "dt_to_census": dt_c})
+    # Pending ring entries on some lanes.
+    S = 4
+    rc = jnp.where(jnp.asarray(rng.integers(0, 2, (S, n)), bool),
+                   jnp.asarray(rng.integers(0, 64 * 64, (S, n)), jnp.int32),
+                   -1)
+    rv = jnp.asarray(rng.random((S, n)), jnp.float32) * (rc >= 0)
+    cnt = jnp.sum((rc >= 0).astype(jnp.int32), axis=0)
+    # (Ring-slot invariant: entries live at slots < count — build by sort.)
+    order = jnp.argsort(rc < 0, axis=0, stable=True)
+    rc = jnp.take_along_axis(rc, order, axis=0)
+    rv = jnp.take_along_axis(rv, order, axis=0)
+    tally0 = jnp.zeros(64 * 64 + 1, jnp.float32)[:64 * 64]
+
+    target = 512
+    # Unfused reference sequence.
+    t_ref, _, _, _ = drain_rings(tally0, rc, rv, cnt)
+    full_ref = full0
+    part_ref, sel_ref = select_working(full_ref, target)
+    rc_ref, rv_ref, rn_ref = make_rings(target, jnp.float32, 16)
+
+    f2, p2, s2, t2, rc2, rv2, rn2 = compact_with_rings(
+        jax.tree_util.tree_map(lambda a: a, full0), None, None,
+        jnp.zeros_like(tally0), rc, rv, cnt, target=target)
+    np.testing.assert_array_equal(np.asarray(t2), np.asarray(t_ref))
+    np.testing.assert_array_equal(np.asarray(s2), np.asarray(sel_ref))
+    for f in part_ref.__dataclass_fields__:
+        np.testing.assert_array_equal(np.asarray(getattr(p2, f)),
+                                      np.asarray(getattr(part_ref, f)),
+                                      err_msg=f)
+    np.testing.assert_array_equal(np.asarray(rc2), np.asarray(rc_ref))
+    np.testing.assert_array_equal(np.asarray(rn2), np.asarray(rn_ref))
+
+    # Second ladder step WITH a live (part, sel) pair: fused merge path.
+    part_mut = type(p2)(**{**{f: getattr(p2, f)
+                              for f in p2.__dataclass_fields__},
+                           "energy": p2.energy * 2.0})
+    merged_ref = merge_compacted(f2, part_mut, s2)
+    part2_ref, sel2_ref = select_working(merged_ref, 256)
+    f3, p3, s3, t3, *_ = compact_with_rings(
+        f2, part_mut, s2, t2, rc2, rv2, rn2, target=256)
+    for f in part2_ref.__dataclass_fields__:
+        np.testing.assert_array_equal(np.asarray(getattr(p3, f)),
+                                      np.asarray(getattr(part2_ref, f)),
+                                      err_msg=f)
+    for f in merged_ref.__dataclass_fields__:
+        np.testing.assert_array_equal(np.asarray(getattr(f3, f)),
+                                      np.asarray(getattr(merged_ref, f)),
+                                      err_msg=f)
+
+
+def test_compact_flight_matches_unfused():
+    """Flight variant: also hands back fresh segment rings."""
+    from neutral_tpu.particles import select_working
+    from neutral_tpu.pallas_flight import compact_flight, make_seg_ring
+    from neutral_tpu.pallas_sweep import drain_rings, make_rings
+
+    cfg, sim, st, mk = make_setup(nparticles=1024)
+    n = st.x.shape[0]
+    rng = np.random.default_rng(7)
+    dead = jnp.asarray(rng.random(n) < 0.6)
+    full0 = type(st)(**{**{f: getattr(st, f)
+                           for f in st.__dataclass_fields__},
+                        "dead": dead})
+    rc = jnp.full((8, n), -1, jnp.int32).at[0, ::3].set(5)
+    rv = jnp.zeros((8, n), jnp.float32).at[0, ::3].set(0.25)
+    cnt = (rc[0] >= 0).astype(jnp.int32)
+    tally0 = jnp.zeros(64 * 64, jnp.float32)
+
+    t_ref, _, _, _ = drain_rings(tally0, rc, rv, cnt)
+    part_ref, sel_ref = select_working(full0, 256)
+    sf_ref, sn_ref = make_seg_ring(256, jnp.float32, 16)
+
+    f2, p2, s2, t2, fc2, fv2, fn2, sf2, sn2 = compact_flight(
+        jax.tree_util.tree_map(lambda a: a, full0), None, None,
+        jnp.zeros_like(tally0), rc, rv, cnt, target=256, s_slots=16)
+    np.testing.assert_array_equal(np.asarray(t2), np.asarray(t_ref))
+    for f in part_ref.__dataclass_fields__:
+        np.testing.assert_array_equal(np.asarray(getattr(p2, f)),
+                                      np.asarray(getattr(part_ref, f)),
+                                      err_msg=f)
+    assert sf2[0].shape == sf_ref[0].shape
+    assert float(jnp.max(jnp.abs(sf2[4]))) == 0.0
+    assert int(jnp.max(sn2)) == 0
