@@ -40,40 +40,10 @@ from ..transport import EventCounts, Geometry
 from ..xs import CrossSection
 from .common import _state_spec
 
-# Control-vector layout returned by the chunk programs: 8 uint32 head
-# slots followed by every shard's 64-bit event-count halves
-# [hi_f, lo_f, hi_c, lo_c] (device all_gather — replicated, so ONE
-# ~33 ms axon-tunnel round-trip per chunk reads every loop decision;
-# separate int() pulls cost a round-trip EACH).
-_CTRL_DONE, _CTRL_WORK, _CTRL_ERR, _CTRL_RINGLEFT = 0, 1, 2, 3
-_CTRL_SPMAX, _CTRL_MAXLIVE, _CTRL_SCNTMAX, _CTRL_HEAD = 4, 5, 6, 8
-
-
-def _pack_ctrl(axes, c, *, done, work, err, maxlive, scnt_max=None,
-               sp_max=None, ringleft=None):
-    """Replicated uint32 control vector (inside a shard_map body)."""
-    u32 = jnp.uint32
-    zero = jnp.zeros((), u32)
-
-    def g(v):
-        return zero if v is None else v.astype(u32)
-
-    head = jnp.stack([g(done), g(work), g(err), g(ringleft), g(sp_max),
-                      lax.pmax(maxlive.astype(jnp.int32), axes)
-                         .astype(u32),
-                      g(scnt_max), zero])
-    cvec = jnp.stack([c.nfacets_hi, c.nfacets_lo,
-                      c.ncollisions_hi, c.ncollisions_lo]).astype(u32)
-    return jnp.concatenate([head, lax.all_gather(cvec, axes).reshape(-1)])
-
-
-def _read_ctrl(ctrl_dev):
-    """One host transfer -> (head ints, (nfacets, ncollisions) deltas)."""
-    ctrl = np.asarray(ctrl_dev)
-    crow = ctrl[_CTRL_HEAD:].astype(np.uint64).reshape(-1, 4)
-    dnf = int((crow[:, 0] << np.uint64(32) | crow[:, 1]).sum())
-    dnc = int((crow[:, 2] << np.uint64(32) | crow[:, 3]).sum())
-    return [int(v) for v in ctrl[:_CTRL_HEAD]], dnf, dnc
+# Control-vector pack/read shared by every decomposed chunk loop
+# (one replicated fetch per chunk): parallel/common.py.
+from .common import (_CTRL_HEAD, _CTRL_MAXLIVE,  # noqa: F401 (re-export)
+                     _pack_ctrl, _read_ctrl)
 
 
 @partial(jax.jit, static_argnames=("mesh_axes",), donate_argnums=(0,))

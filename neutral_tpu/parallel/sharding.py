@@ -44,7 +44,8 @@ from ..transport import Geometry, run_timestep
 from ..xs import CrossSection
 
 
-from .common import _state_spec, combine_count_rows  # noqa: F401  (re-export)
+from .common import (_CTRL_MAXLIVE, _read_ctrl,  # noqa: F401  (re-export)
+                     _state_spec, combine_count_rows)
 from .flight_sharded import FlightDecomposedMixin
 
 
@@ -129,11 +130,12 @@ def sweep_chunk_sharded(state: ParticleState, tally_parts: jnp.ndarray,
 
     Each shard sweeps until its own particles finish or the bound is hit —
     no lockstep between shards inside a chunk.  Returns
-    (state, tally_parts, counts_delta, nsweeps_max, max_work) — max_work
-    the pmax over shards of each shard's working-lane count — with
-    counts_delta globally psum'd; the caller accumulates across chunks.
+    (state, tally_parts, ctrl) — ctrl the replicated control vector
+    (common._pack_ctrl: done, maxlive over shards, plus every shard's
+    64-bit count halves), read with ONE host fetch via _read_ctrl.
     """
     from ..transport import EventCounts
+    from .common import _pack_ctrl
 
     axis = mesh_axes.axis_names[0]
     pspec = _state_spec(axis)
@@ -143,18 +145,14 @@ def sweep_chunk_sharded(state: ParticleState, tally_parts: jnp.ndarray,
             s, t_row[0], EventCounts.zeros(), m2d, stab, atab, geom,
             master_key, inv_ntotal, max_sweeps,
             events_per_sweep=events_per_sweep)
-        live = jax.lax.pmax(live.astype(jnp.int32), axis)
-        nsweeps = jax.lax.pmax(nsweeps, axis)
-        # Per-shard u64 counters as u32 (hi, lo) rows; the host recombines
-        # with exact integer arithmetic (a u32 psum would drop carries).
-        c_row = jnp.stack([c.nfacets_hi, c.nfacets_lo,
-                           c.ncollisions_hi, c.ncollisions_lo])[None, :]
-        return s, t[None, :], c_row, nsweeps, live
+        ctrl = _pack_ctrl(axis, c, done=jax.lax.pmax(nsweeps, axis),
+                          work=None, err=None, maxlive=live)
+        return s, t[None, :], ctrl
 
     fn = shard_map(
         shard_fn, mesh=mesh_axes,
         in_specs=(pspec, P(axis, None), P(), P(), P()),
-        out_specs=(pspec, P(axis, None), P(axis, None), P(), P()),
+        out_specs=(pspec, P(axis, None), P()),
         check_vma=False)
     return fn(state, tally_parts, mesh2d, scatter_tab, absorb_tab)
 
@@ -175,10 +173,13 @@ def pallas_sweep_chunk_sharded(state: ParticleState, tally_parts,
     Each shard runs the same pallas_sweep_chunk as the single-chip driver
     on its particle slab and private tally row; pending-flush rings are
     sharded alongside the lanes and persist across chunks (the caller
-    drains via drain_rings_sharded before compaction/step end).
+    drains via drain_rings_sharded before compaction/step end).  Returns
+    (state, tally_parts, rings..., ctrl) with ctrl the replicated
+    control vector (one host fetch per chunk — see common._pack_ctrl).
     """
     from ..pallas_sweep import pallas_sweep_chunk
     from ..transport import EventCounts
+    from .common import _pack_ctrl
 
     axis = mesh_axes.axis_names[0]
     pspec = _state_spec(axis)
@@ -188,18 +189,16 @@ def pallas_sweep_chunk_sharded(state: ParticleState, tally_parts,
             s, t_row[0], EventCounts.zeros(), rc, rv, rn, scatter_tab,
             absorb_tab, geom, master_key, inv_ntotal, max_sweeps,
             k_events=k_events)
-        live = jax.lax.pmax(live.astype(jnp.int32), axis)
-        done = jax.lax.pmax(done, axis)
-        c_row = jnp.stack([c.nfacets_hi, c.nfacets_lo,
-                           c.ncollisions_hi, c.ncollisions_lo])[None, :]
-        return s, t[None, :], c_row, rc, rv, rn, done, live
+        ctrl = _pack_ctrl(axis, c, done=jax.lax.pmax(done, axis),
+                          work=None, err=None, maxlive=live)
+        return s, t[None, :], rc, rv, rn, ctrl
 
     fn = shard_map(
         shard_fn, mesh=mesh_axes,
         in_specs=(pspec, P(axis, None), P(None, axis), P(None, axis),
                   P(axis)),
-        out_specs=(pspec, P(axis, None), P(axis, None), P(None, axis),
-                   P(None, axis), P(axis), P(), P()),
+        out_specs=(pspec, P(axis, None), P(None, axis),
+                   P(None, axis), P(axis), P()),
         check_vma=False)
     return fn(state, tally_parts, ring_cell, ring_val, ring_cnt)
 
@@ -406,28 +405,31 @@ class ShardedSimulation(FlightDecomposedMixin,
             max_sw = (self.chunk_sweeps if per_shard > 262144
                       else self.chunk_sweeps * 8)
             if use_pallas:
-                (part, self.tally_parts, c_rows, rc, rv, rn, done,
-                 max_work) = pallas_sweep_chunk_sharded(
+                (part, self.tally_parts, rc, rv, rn,
+                 ctrl_dev) = pallas_sweep_chunk_sharded(
                     part, self.tally_parts, rc, rv, rn,
                     self.cs_scatter, self.cs_absorb, self.geom, master_key,
                     inv_ntotal, self.device_mesh, max_sw,
                     k_events=self.k_events)
             else:
-                (part, self.tally_parts, c_rows, done,
-                 max_work) = sweep_chunk_sharded(
+                (part, self.tally_parts,
+                 ctrl_dev) = sweep_chunk_sharded(
                     part, self.tally_parts, self.mesh2d,
                     self.cs_scatter, self.cs_absorb, self.geom, master_key,
                     inv_ntotal, self.device_mesh, max_sw,
                     events_per_sweep=self.events_per_sweep)
-            dnf, dnc = combine_count_rows(c_rows)
+            # ONE replicated fetch per chunk: loop decisions + exact
+            # 64-bit event counts (separate int() pulls each cost a
+            # ~33 ms tunnel round trip).
+            head, dnf, dnc = _read_ctrl(ctrl_dev)
             nf += dnf
             nc += dnc
-            nsweeps += int(done)
+            nsweeps += head[0]
             if sel is None:
                 full = part  # chunk inputs are donated; keep live buffers
             # pmax'd per-shard working count from the chunk itself ==
             # max_live_sharded, minus one whole dispatch per chunk.
-            live = int(max_work)
+            live = head[_CTRL_MAXLIVE]
             if live == 0:
                 break
             if self.compact_enabled and per_shard > min_cap:

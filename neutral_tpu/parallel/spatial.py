@@ -51,6 +51,7 @@ from ..config import SimConfig
 from ..particles import ParticleState, inject_particles
 from ..transport import EventCounts, Geometry
 from .flight_sharded import FlightDecomposedMixin
+from .common import _CTRL_MAXLIVE, _pack_ctrl, _read_ctrl
 from .sharding import _state_spec, combine_count_rows, make_device_mesh
 
 
@@ -310,10 +311,13 @@ class SpatialSimulation(FlightDecomposedMixin,
             pending_g = lax.psum(pending.astype(jnp.int32), axis)
             moved_g = lax.psum(moved, axis)
             err = ((pending_g > 0) & (moved_g == 0)).astype(jnp.int32)
-            nsweeps = lax.pmax(nsweeps, axis)
-            c_row = jnp.stack([c.nfacets_hi, c.nfacets_lo,
-                               c.ncollisions_hi, c.ncollisions_lo])[None, :]
-            return s, t[None, :], c_row, rg, nsweeps, work, err
+            # maxlive rides the ctrl vector: the compaction ladder needs
+            # the worst shard's live count anyway, and packing it here
+            # kills the separate max_live_sharded dispatch per chunk.
+            ctrl = _pack_ctrl(axis, c, done=lax.pmax(nsweeps, axis),
+                              work=work, err=err,
+                              maxlive=jnp.count_nonzero(live))
+            return s, t[None, :], rg, ctrl
 
         ring_spec = (None if rings is None else
                      (P(None, axis), P(None, axis), P(axis)))
@@ -321,8 +325,8 @@ class SpatialSimulation(FlightDecomposedMixin,
             shard_fn, mesh=self.device_mesh,
             in_specs=(_state_spec(axis), P(axis, None), P(axis, None),
                       ring_spec),
-            out_specs=(_state_spec(axis), P(axis, None), P(axis, None),
-                       ring_spec, P(), P(), P()),
+            out_specs=(_state_spec(axis), P(axis, None),
+                       ring_spec, P()),
             check_vma=False)
         return fn(state, tally_parts, dens_parts, rings)
 
@@ -384,7 +388,7 @@ class SpatialSimulation(FlightDecomposedMixin,
                 jax.device_put(jnp.zeros((total,), jnp.int32), lane))
 
     def step(self, tt: int):
-        from .sharding import (drain_rings_sharded, max_live_sharded,
+        from .sharding import (drain_rings_sharded,
                                merge_compacted_sharded,
                                select_working_padded_sharded)
         if self.use_flight:
@@ -416,18 +420,21 @@ class SpatialSimulation(FlightDecomposedMixin,
                 rings = (rc, rv, rn)
 
         while True:
-            (part, self.tally_parts, c_rows, rings, done, work,
-             err) = self._chunk(part, self.tally_parts,
-                                self.density_parts, rings, mk)
-            # The chunk's sweeps happened regardless of migration backlog:
-            # bank its event counts BEFORE any recovery path.
-            dnf, dnc = combine_count_rows(c_rows)
+            (part, self.tally_parts, rings,
+             ctrl_dev) = self._chunk(part, self.tally_parts,
+                                     self.density_parts, rings, mk)
+            # ONE replicated fetch per chunk: loop decisions + exact
+            # 64-bit event counts (the chunk's sweeps happened regardless
+            # of migration backlog, so counts bank BEFORE any recovery).
+            head, dnf, dnc = _read_ctrl(ctrl_dev)
+            done, work, err = head[0], head[1], head[2]
+            maxlive = head[_CTRL_MAXLIVE]
             nf += dnf
             nc += dnc
-            nsweeps += int(done)
+            nsweeps += done
             if sel is None:
                 full = part
-            if int(err):
+            if err:
                 grows += 1
                 if grows > 6:
                     raise RuntimeError(
@@ -446,15 +453,15 @@ class SpatialSimulation(FlightDecomposedMixin,
                 if self.use_pallas:
                     rings = self._fresh_step_rings(part.x.shape[0])
                 continue
-            if int(work) == 0:
+            if work == 0:
                 break
             per_shard = part.x.shape[0] // self.nshards
             if self.compact_enabled and per_shard > min_cap:
-                live = int(max_live_sharded(part, self.device_mesh))
                 # 2x headroom over the worst shard keeps migration's
-                # free-slot supply healthy while compacted.
+                # free-slot supply healthy while compacted (maxlive rode
+                # the ctrl vector — no extra dispatch).
                 target = max(min_cap,
-                             2 << (max(live, 1) - 1).bit_length())
+                             2 << (max(maxlive, 1) - 1).bit_length())
                 if target <= per_shard // 2:
                     drain()
                     if sel is not None:
@@ -779,10 +786,11 @@ class Spatial2DSimulation(SpatialSimulation):
             pending_g = lax.psum(pending.astype(jnp.int32), self.axes)
             moved_g = lax.psum(mx + my, self.axes)
             err = ((pending_g > 0) & (moved_g == 0)).astype(jnp.int32)
-            nsweeps = lax.pmax(nsweeps, self.axes)
-            c_row = jnp.stack([c.nfacets_hi, c.nfacets_lo,
-                               c.ncollisions_hi, c.ncollisions_lo])[None, :]
-            return s, t[None, :], c_row, rg, nsweeps, work, err
+            ctrl = _pack_ctrl(self.axes, c,
+                              done=lax.pmax(nsweeps, self.axes),
+                              work=work, err=err,
+                              maxlive=jnp.count_nonzero(live))
+            return s, t[None, :], rg, ctrl
 
         ring_spec = (None if rings is None else
                      (P(None, self.axes), P(None, self.axes),
@@ -791,8 +799,8 @@ class Spatial2DSimulation(SpatialSimulation):
             shard_fn, mesh=self.device_mesh,
             in_specs=(spec, P(self.axes, None), P(self.axes, None),
                       ring_spec),
-            out_specs=(spec, P(self.axes, None), P(self.axes, None),
-                       ring_spec, P(), P(), P()),
+            out_specs=(spec, P(self.axes, None),
+                       ring_spec, P()),
             check_vma=False)
         return fn(state, tally_parts, dens_parts, rings)
 
