@@ -368,6 +368,46 @@ class FlightDecomposedMixin:
         return mapped(state, tally_parts, fc, fv, fn, sfields, sn, segbuf,
                       rbufs)
 
+    @partial(jax.jit, static_argnames=("self", "target", "ring_slots",
+                                       "s_slots"),
+             donate_argnums=(1, 2, 3))
+    def _compact_flight_sharded(self, full, part, sel, *, target: int,
+                                ring_slots: int = 32, s_slots: int = 8):
+        """Fused flight-ladder compaction: merge + arrival-safe reselect
+        + fresh flush AND segment rings per shard, one dispatch (the
+        unfused sequence paid per-dispatch submission cost plus
+        host-allocated device_put ring transfers).  Caller must ensure
+        rings are globally empty (ringleft == 0 — the fused chunk
+        force-drains flushes and the walker drain empties segments).
+        Returns (full', part'@target, sel', fc, fv, fn, sfields, sn).
+        """
+        from ..pallas_flight import make_seg_ring
+        from ..pallas_sweep import make_rings
+        from ..particles import merge_compacted, select_working_padded
+
+        axes = self._axes_names()
+        pspec = _state_spec(axes)
+        tdt = self.tally_parts.dtype
+        has_sel = sel is not None
+
+        def shard_fn(f, p, se):
+            if has_sel:
+                f = merge_compacted(f, p, se)
+            p2, se2 = select_working_padded(f, target)
+            fc, fv, fn = make_rings(target, tdt, ring_slots)
+            sf, sn = make_seg_ring(target, p2.x.dtype, s_slots)
+            return f, p2, se2, fc, fv, fn, sf, sn
+
+        ring_col = P(None, axes)
+        fn2 = shard_map(
+            shard_fn, mesh=self.device_mesh,
+            in_specs=(pspec, pspec if has_sel else None,
+                      P(axes) if has_sel else None),
+            out_specs=(pspec, pspec, P(axes), ring_col, ring_col,
+                       P(axes), (ring_col,) * 5, P(axes)),
+            check_vma=False)
+        return fn2(full, part, sel)
+
     @partial(jax.jit, static_argnames=("self",),
              donate_argnums=(1, 2, 3))
     def _walker_drain(self, rbufs, sfields, sn):
@@ -542,19 +582,23 @@ class FlightDecomposedMixin:
                 target = max(min_cap,
                              2 << (max(maxlive, 1) - 1).bit_length())
                 if target <= per_shard_w // 2:
-                    if sel is not None:
-                        full = merge_compacted_sharded(full, part, sel,
-                                                       self.device_mesh)
-                    else:
-                        full = part
-                    part, sel = select_working_padded_sharded(
-                        full, target, self.device_mesh)
                     if use_fused:
-                        # Tail widths: deeper rings amortize the chunk
-                        # exits over more pieces (VMEM is plentiful at
-                        # these lane counts).
-                        rings = self._fresh_flight_rings(
-                            total=target * nshards, ring_slots=32)
+                        # Fused merge + reselect + fresh rings (deeper
+                        # 32-slot flush rings at tail widths amortize
+                        # the chunk exits over more pieces).
+                        (full, part, sel, fc, fv, fnr, sfields,
+                         sn) = self._compact_flight_sharded(
+                            full, part if sel is not None else None,
+                            sel, target=target, ring_slots=32)
+                        rings = (fc, fv, fnr, sfields, sn)
+                    else:
+                        if sel is not None:
+                            full = merge_compacted_sharded(
+                                full, part, sel, self.device_mesh)
+                        else:
+                            full = part
+                        part, sel = select_working_padded_sharded(
+                            full, target, self.device_mesh)
                 phases["compact"] += _time.perf_counter() - t2
         if sel is not None:
             full = merge_compacted_sharded(full, part, sel,

@@ -275,6 +275,58 @@ def merge_compacted_sharded(full: ParticleState, part: ParticleState,
     return fn(full, part, sel)
 
 
+@partial(jax.jit, static_argnames=("target", "mesh_axes", "padded",
+                                   "ring_slots"),
+         donate_argnums=(0, 1, 3, 4, 5, 6))
+def compact_sharded(full: ParticleState, part, sel, tally_parts,
+                    ring_cell, ring_val, ring_cnt, *, target: int,
+                    mesh_axes: Mesh, padded: bool = False,
+                    ring_slots: int = 16):
+    """Fused per-shard compaction: ring drain + merge + reselect + fresh
+    rings in ONE dispatch (the unfused ladder pays fixed submission cost
+    per dispatch, and the fresh rings were host-allocated device_puts —
+    tens of MB through the axon tunnel at full widths).
+
+    `part`/`sel` are None on the first ladder step.  Ring args may be
+    None (pure-XLA sweep path): then the tally passes through untouched
+    and no fresh rings are returned.  Returns
+    (full', part'@target, sel', tally', rc, rv, rn) with the fresh rings
+    sized (ring_slots, target) per shard, or Nones without rings.
+    """
+    from ..pallas_sweep import drain_rings, make_rings
+    from ..particles import (merge_compacted, select_working,
+                             select_working_padded)
+
+    axes = mesh_axes.axis_names
+    pspec = _state_spec(axes)
+    has_rings = ring_cell is not None
+    has_sel = sel is not None
+
+    def shard_fn(f, p, se, t_row, rc, rv, rn):
+        t = t_row[0]
+        if has_rings:
+            t, _, _, _ = drain_rings(t, rc, rv, rn)
+        if has_sel:
+            f = merge_compacted(f, p, se)
+        p2, se2 = (select_working_padded if padded
+                   else select_working)(f, target)
+        if has_rings:
+            nrc, nrv, nrn = make_rings(target, t.dtype, ring_slots)
+        else:
+            nrc = nrv = nrn = None
+        return f, p2, se2, t[None, :], nrc, nrv, nrn
+
+    ring_in = (P(None, axes), P(None, axes), P(axes)) if has_rings \
+        else (None, None, None)
+    fn = shard_map(
+        shard_fn, mesh=mesh_axes,
+        in_specs=(pspec, pspec if has_sel else None,
+                  P(axes) if has_sel else None, P(axes, None)) + ring_in,
+        out_specs=(pspec, pspec, P(axes), P(axes, None)) + ring_in,
+        check_vma=False)
+    return fn(full, part, sel, tally_parts, ring_cell, ring_val, ring_cnt)
+
+
 @partial(jax.jit, static_argnames=("mesh_axes",))
 def drain_rings_sharded(tally_parts, ring_cell, ring_val, ring_cnt,
                         mesh_axes: Mesh):
@@ -390,6 +442,7 @@ class ShardedSimulation(FlightDecomposedMixin,
         nshards = self.device_mesh.devices.size
         use_pallas = self.use_pallas
         S = 16
+        rc = rv = rn = None
         if use_pallas:
             rc, rv, rn = self._fresh_rings(self.state.x.shape[0], S)
 
@@ -436,18 +489,14 @@ class ShardedSimulation(FlightDecomposedMixin,
                 target = max(min_cap,
                              1 << (max(live, 1) - 1).bit_length())
                 if target <= per_shard // 2:
-                    if use_pallas:
-                        (self.tally_parts, rc, rv, rn) = drain_rings_sharded(
-                            self.tally_parts, rc, rv, rn, self.device_mesh)
-                    if sel is not None:
-                        full = merge_compacted_sharded(full, part, sel,
-                                                       self.device_mesh)
-                    else:
-                        full = part
-                    part, sel = select_working_sharded(full, target,
-                                                       self.device_mesh)
-                    if use_pallas:
-                        rc, rv, rn = self._fresh_rings(target * nshards, S)
+                    # Fused: drain + merge + reselect + fresh rings in
+                    # one dispatch (see compact_sharded).
+                    (full, part, sel, self.tally_parts, rc, rv,
+                     rn) = compact_sharded(
+                        full, part if sel is not None else None, sel,
+                        self.tally_parts, rc, rv, rn,
+                        target=target, mesh_axes=self.device_mesh,
+                        ring_slots=S)
         if use_pallas:
             (self.tally_parts, rc, rv, rn) = drain_rings_sharded(
                 self.tally_parts, rc, rv, rn, self.device_mesh)

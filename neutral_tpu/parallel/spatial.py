@@ -463,17 +463,18 @@ class SpatialSimulation(FlightDecomposedMixin,
                 target = max(min_cap,
                              2 << (max(maxlive, 1) - 1).bit_length())
                 if target <= per_shard // 2:
-                    drain()
-                    if sel is not None:
-                        full = merge_compacted_sharded(full, part, sel,
-                                                       self.device_mesh)
-                    else:
-                        full = part
-                    part, sel = select_working_padded_sharded(
-                        full, target, self.device_mesh)
-                    if self.use_pallas:
-                        rings = self._fresh_step_rings(
-                            target * self.nshards)
+                    # Fused: ring drain (lane-slot-indexed rings must
+                    # empty before reordering) + merge + arrival-safe
+                    # reselect + fresh rings, one dispatch.
+                    from .sharding import compact_sharded
+                    rc, rv, rn = rings if rings is not None \
+                        else (None, None, None)
+                    (full, part, sel, self.tally_parts, rc, rv,
+                     rn) = compact_sharded(
+                        full, part if sel is not None else None, sel,
+                        self.tally_parts, rc, rv, rn, target=target,
+                        mesh_axes=self.device_mesh, padded=True)
+                    rings = ((rc, rv, rn) if self.use_pallas else None)
         drain()
         if sel is not None:
             full = merge_compacted_sharded(full, part, sel,
