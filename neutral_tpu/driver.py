@@ -538,7 +538,8 @@ class Simulation(SimulationBase):
                  n_work) = pallas_sweep_chunk(
                     part, self.tally, counts, rc, rv, rn, self.cs_scatter,
                     self.cs_absorb, self.geom, master_key, inv_ntotal,
-                    max_sw, k_events=self.k_events)
+                    max_sw, k_events=self.k_events,
+                    interpret=getattr(self, "pallas_interpret", False))
             else:
                 part, self.tally, counts, done, n_work = sweep_chunk(
                     part, self.tally, counts, self.mesh, self.cs_scatter,

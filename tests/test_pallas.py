@@ -188,3 +188,50 @@ def test_compact_flight_matches_unfused():
     assert sf2[0].shape == sf_ref[0].shape
     assert float(jnp.max(jnp.abs(sf2[4]))) == 0.0
     assert int(jnp.max(sn2)) == 0
+
+
+@pytest.mark.slow
+def test_step_pallas_interpret_matches_xla_with_compaction():
+    """Driver-level ring-engine step (interpret Mosaic kernel) == the
+    XLA sweep engine, with the fused compaction ladder
+    (compact_with_rings) actually firing in the death tail."""
+    from neutral_tpu.pallas_sweep import compact_with_rings  # noqa: F401
+    import neutral_tpu.pallas_sweep as ps
+
+    # Low energy + dense medium: lanes absorb within ~4 collisions
+    # (~16 sweeps total), so interpret stays fast; tiny chunks + k_events
+    # give the ladder chunk boundaries while ~half the lanes live.
+    # 16384 lanes: _ladder_target's floor is one 8192-lane pad quantum,
+    # so the cap must exceed it for the ladder to have anywhere to go.
+    cfg = SimConfig(nx=32, ny=32, dt=1e-4, niters=1, nparticles=16384,
+                    initial_energy=1.0, chunk_sweeps=1,
+                    source=SourceBox(0.2, 0.2, 0.6, 0.6),
+                    problems=(ProblemRegion(1.0e4, 0.0, 0.0, 1.0, 1.0),),
+                    dtype="float32", tally_dtype="float32")
+    sim_x = Simulation(cfg.with_(engine="xla"), quiet=True)
+    m_x = sim_x.step(1)
+    t_x = np.asarray(sim_x.tally, np.float64)
+
+    calls = []
+    orig = ps.compact_with_rings
+
+    def spy(*a, **k):
+        calls.append(k.get("target"))
+        return orig(*a, **k)
+
+    sim_p = Simulation(cfg.with_(engine="pallas"), quiet=True)
+    sim_p.pallas_interpret = True
+    sim_p.k_events = 2
+    import neutral_tpu.driver  # the step imports from pallas_sweep
+    ps.compact_with_rings = spy
+    try:
+        m_p = sim_p.step(1)
+    finally:
+        ps.compact_with_rings = orig
+    assert (m_p.nfacets, m_p.ncollisions, m_p.nprocessed) == \
+        (m_x.nfacets, m_x.ncollisions, m_x.nprocessed)
+    t_p = np.asarray(sim_p.tally, np.float64)
+    np.testing.assert_allclose(t_p.sum(), t_x.sum(), rtol=1e-6)
+    big = np.abs(t_x) > 1e-6 * np.abs(t_x).max()
+    np.testing.assert_allclose(t_p[big], t_x[big], rtol=2e-4)
+    assert calls, "fused compaction never fired; adjust dt/compact_min"
