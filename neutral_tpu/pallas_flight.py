@@ -485,9 +485,13 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
         w = working(s)
         f_full = fn >= fc.shape[0] - 1
         s_full = sn >= s_slots
-        paused = w & (f_full | s_full)
+        # Piece-plane rings never gate a lane (plane p is piece p's own),
+        # so s_full must not count as "paused" — it would force a full
+        # S x N flush-drain scatter after every call on streaming decks.
+        blocked = f_full if seg_plane else (f_full | s_full)
+        paused = w & blocked
         npaused = jnp.count_nonzero(paused)
-        stuck = jnp.any(w) & ~jnp.any(w & ~(f_full | s_full))
+        stuck = jnp.any(w) & ~jnp.any(w & ~blocked)
         do_drain = (npaused > pause_budget) | stuck
 
         t, fc, fv, fn = lax.cond(
@@ -497,13 +501,15 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
             (t, fc, fv, fn))
 
         if use_ring_walker:
-            seg_paused = jnp.count_nonzero(w & s_full)
-            seg_pressure = ((seg_paused > pause_budget)
-                            | (jnp.any(w) & ~jnp.any(w & ~s_full)))
             if seg_plane:
                 # Piece-plane rings are overwritten by the next call:
-                # ANY emission this call forces the drain.
+                # ANY emission this call forces the drain (the cond
+                # below already gates on jnp.any(sn > 0)).
                 seg_pressure = jnp.ones((), bool)
+            else:
+                seg_paused = jnp.count_nonzero(w & s_full)
+                seg_pressure = ((seg_paused > pause_budget)
+                                | (jnp.any(w) & ~jnp.any(w & ~s_full)))
             if in_loop:
                 # In-loop walker drain: rasterize the rings in the SAME
                 # XLA program whenever ring pressure would stall
