@@ -140,6 +140,12 @@ def _kernel_body(geom, scatter_tab, absorb_tab, inv_ntotal, k_pieces,
                                          absorb_tab, mk, inv_ntotal,
                                          tally_dtype, gate=gate,
                                          x_off=x_off, y_off=y_off)
+        # Zero-valued flushes (vacuum pieces: K = 0, deposit exactly
+        # +0.0) skip the ring: on streaming decks they are nearly ALL
+        # flushes — appending them fills the ring and forces full S x N
+        # drain scatters for tally no-ops.
+        f1 = f1 & (v1 != 0)
+        f2 = f2 & (v2 != 0)
         for s in range(f_slots):
             hit = f1 & (fslot == s)
             fc_rows[s] = jnp.where(hit, c1, fc_rows[s])

@@ -105,6 +105,10 @@ def _kernel(geom: Geometry, scatter_tab: CrossSection,
                 sweep_core(state, None, geom, scatter_tab, absorb_tab,
                            mk, inv_ntotal, tally_dtype, y_off_dyn=y_off,
                            gate=gate, x_off_dyn=x_off)
+            # Zero-valued flushes (vacuum regions: K = 0 so the deposit
+            # is exactly +0.0) never reach the ring: they would fill it
+            # and force full S x N drain scatters for tally no-ops.
+            flush = flush & (contrib != 0)
             # Ring insert: per-lane dynamic slot via an S-way select
             # chain (everything stays in VMEM; no scatter).
             for s in range(ring_slots):

@@ -397,6 +397,8 @@ def test_pallas_flight_multi_interpret_matches_core(monkeypatch):
          nf_lane, is_coll) = flight_core(s, sim.geom, sim.cs_scatter,
                                          sim.cs_absorb, mk, inv,
                                          jnp.float32, gate=gate)
+        f1 = f1 & (v1 != 0)     # kernel skips zero-valued flushes
+        f2 = f2 & (v2 != 0)
         for slot in range(f_slots):
             hit = f1 & (fn == slot)
             fc = fc.at[slot].set(jnp.where(hit, c1, fc[slot]))
@@ -475,6 +477,8 @@ def test_pallas_flight_multi_seg_plane_interpret_matches_core():
          nf_lane, is_coll) = flight_core(s, sim.geom, sim.cs_scatter,
                                          sim.cs_absorb, mk, inv,
                                          jnp.float32, gate=gate)
+        f1 = f1 & (v1 != 0)     # kernel skips zero-valued flushes
+        f2 = f2 & (v2 != 0)
         for slot in range(f_slots):
             hit = f1 & (fn == slot)
             fc = fc.at[slot].set(jnp.where(hit, c1, fc[slot]))
