@@ -34,7 +34,7 @@ from neutral_tpu.mesh import region_cell_bounds
 from neutral_tpu.particles import inject_particles
 from neutral_tpu.pallas_flight import make_seg_ring, pallas_flight_chunk
 from neutral_tpu.pallas_sweep import drain_rings, make_rings
-from neutral_tpu.raster import TILE, grid_shape, rasterize_walk
+from neutral_tpu.raster import TILE, grid_shape
 from neutral_tpu.transport import EventCounts, Geometry, begin_timestep
 from neutral_tpu.mesh import build_mesh
 

@@ -34,10 +34,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..flight import flight_chunk_impl
-from ..particles import ParticleState
 from ..raster import raster_drain_impl, rasterize_xla
-from ..transport import EventCounts, Geometry
-from ..xs import CrossSection
+from ..transport import EventCounts
 from .common import _state_spec
 
 # Control-vector pack/read shared by every decomposed chunk loop

@@ -38,7 +38,7 @@ from jax import shard_map
 from .. import driver as driver_mod
 from .. import transport
 from ..config import SimConfig
-from ..mesh import Mesh2D, build_mesh
+from ..mesh import Mesh2D
 from ..particles import ParticleState, inject_particles
 from ..transport import Geometry, run_timestep
 from ..xs import CrossSection

@@ -52,7 +52,7 @@ from ..particles import ParticleState, inject_particles
 from ..transport import EventCounts, Geometry
 from .flight_sharded import FlightDecomposedMixin
 from .common import _CTRL_MAXLIVE, _pack_ctrl, _read_ctrl
-from .sharding import _state_spec, combine_count_rows, make_device_mesh
+from .sharding import _state_spec, make_device_mesh
 
 
 def _partition_by_slab(state: ParticleState, nshards: int, rows: int,
@@ -389,8 +389,7 @@ class SpatialSimulation(FlightDecomposedMixin,
 
     def step(self, tt: int):
         from .sharding import (drain_rings_sharded,
-                               merge_compacted_sharded,
-                               select_working_padded_sharded)
+                               merge_compacted_sharded)
         if self.use_flight:
             return self._step_flight_decomposed(tt)
         self.profile.start()
