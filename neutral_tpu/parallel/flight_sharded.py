@@ -290,17 +290,32 @@ class FlightDecomposedMixin:
         interpret = getattr(self, "flight_fused_interpret", False)
         inv_tile = np.float32(1.0 / TILE)
         s_slots = sfields[0].shape[0]
+        # Opt-in (set BEFORE the first step — `self` is a static jit key,
+        # so later attr flips don't retrace): run the single-device
+        # design in each shard — in-loop walker drains + piece-plane
+        # rings.  Default off: embedding the walker in this program
+        # measurably slowed the flight kernel in an earlier round
+        # (shared program VMEM budget) — re-measure per hardware.
+        in_loop = walker and getattr(self, "flight_sharded_inloop", False)
+        if in_loop:
+            k_pieces = min(k_pieces, s_slots)  # seg_plane: k <= s_slots
 
         def shard_fn(s, t_row, fcr, fvr, fnr, sf, snn, sb, rb):
             x_off, y_off = self._dyn_offsets()
             z = jnp.zeros((), jnp.int32)
-            (s, t, c, fcr, fvr, fnr, sf, snn, sb, sbase, spairs, _rb,
+            (s, t, c, fcr, fvr, fnr, sf, snn, sb, sbase, spairs, rb_out,
              done, _w, _npend) = pallas_flight_chunk_impl(
                 s, t_row[0], EventCounts.zeros(), fcr, fvr, fnr, sf, snn,
                 sb, z, z, self.cs_scatter, self.cs_absorb, geom, mk,
                 1.0 / self.cfg.nparticles, max_calls, k_pieces=k_pieces,
                 tile=TILE, pair_cap=PCAP, interpret=interpret,
-                x_off=x_off, y_off=y_off, use_ring_walker=walker)
+                x_off=x_off, y_off=y_off, use_ring_walker=walker,
+                rbuf=rb[0] if in_loop else None, ntx=_ntx, nty=_nty,
+                seg_plane=in_loop)
+            if in_loop:
+                # Rings drained in-loop: rbuf carries the deposits and
+                # ringwork below is identically 0 (no _walker_drain).
+                rb = rb_out[None]
             # Forced end-of-chunk drain: without it a shard whose lanes
             # all finished would never empty its rings (the in-chunk
             # drain cadence is pause-pressure driven).

@@ -180,6 +180,29 @@ def test_spatial_flight_fused_interpret_matches_split_single():
 
 
 @pytest.mark.slow
+def test_spatial_flight_fused_inloop_interpret_matches_split_single():
+    """flight_sharded_inloop=True (in-loop walker drains + piece-plane
+    rings per shard) matches the single-device XLA flight over the
+    split-rect geometry, like the default sharded path."""
+    cfg = _f32_stream_cfg()
+    sp = SpatialSimulation(cfg, quiet=True)
+    assert sp.use_flight
+    sp.flight_fused_interpret = True
+    sp.flight_sharded_inloop = True
+    sp.flight_max_calls = 2
+    sp.flight_k_pieces = 2
+    sp.step(1)
+
+    single = _split_single(
+        cfg, [], [sp.rows * k for k in range(1, sp.nshards)], 1)
+    a, b = single.step_metrics[0], sp.step_metrics[0]
+    assert (a.nfacets, a.ncollisions) == (b.nfacets, b.ncollisions)
+    s1 = np.asarray(single.tally, np.float64).sum()
+    s2 = np.asarray(sp.tally, np.float64).sum()
+    assert abs(s1 - s2) / abs(s1) < 1e-6
+
+
+@pytest.mark.slow
 def test_sharded_flight_fused_interpret_matches_single():
     """Fused-Mosaic replicated flight (interpret) == single-device XLA
     flight: the unified mixin path with no window and no migration."""
