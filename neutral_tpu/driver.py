@@ -803,9 +803,13 @@ class Simulation(SimulationBase):
 
         def seg_slots(width):
             # Piece-plane rings (walker mode): plane p belongs to piece
-            # p, so the ring must have exactly k_pieces planes; the
-            # sorted-pair fallback keeps the 4-slot count-based ring.
-            return pick_kmax(width)[0] if use_walker else 4
+            # p, so the ring must have exactly k_pieces planes.  The
+            # sorted-pair fallback keeps count-based rings: 4 slots at
+            # big widths, 8 at tail widths (deeper rings amortize the
+            # extraction cadence; VMEM is plentiful there).
+            if use_walker:
+                return pick_kmax(width)[0]
+            return 4 if width > 262144 else 8
 
         fc, fv, fn = make_rings(part.n, tally_dt, ring_slots=8)
         sfields, sn = make_seg_ring(part.n, self.dtype,

@@ -332,14 +332,11 @@ def compact_flight(full: ParticleState, part, sel, tally, fc, fv, fn, *,
     first).  Returns (full', part'@target, sel', tally', fc, fv, fn,
     sfields, sn).
     """
-    from .pallas_sweep import drain_rings, make_rings
-    from .particles import merge_compacted, select_working
+    from .pallas_sweep import compact_core
 
-    tally, _, _, _ = drain_rings(tally, fc, fv, fn)
-    if sel is not None:
-        full = merge_compacted(full, part, sel)
-    part, sel = select_working(full, target)
-    fc, fv, fn = make_rings(target, tally.dtype, ring_slots)
+    full, part, sel, tally, fc, fv, fn = compact_core(
+        full, part, sel, tally, fc, fv, fn, target=target,
+        ring_slots=ring_slots)
     sfields, sn = make_seg_ring(target, part.dtype, s_slots)
     return full, part, sel, tally, fc, fv, fn, sfields, sn
 

@@ -341,20 +341,15 @@ def drain_rings(tally, ring_cell, ring_val, ring_cnt):
     return tally, rc, rv, rn
 
 
-@partial(jax.jit, static_argnames=("target", "ring_slots"),
-         donate_argnums=(0, 1, 3, 4, 5, 6))
-def compact_with_rings(full: ParticleState, part, sel, tally,
-                       ring_cell, ring_val, ring_cnt, *, target: int,
-                       ring_slots: int = 16):
-    """Fused compaction: drain rings + merge + reselect + fresh rings.
+def compact_core(full: ParticleState, part, sel, tally, ring_cell,
+                 ring_val, ring_cnt, *, target: int, ring_slots: int):
+    """Unjitted fused-compaction sequence shared by every ladder wrapper.
 
-    One dispatch instead of four — each separate dispatch through the
-    axon tunnel carries fixed submission cost, and the death-tail ladder
-    compacts several times per step.  `part`/`sel` are None on the first
-    compaction (when `full` IS the working set); rings are lane-indexed,
-    so they are drained into the tally before any reordering, exactly as
-    the unfused sequence did.  Returns
-    (full', part'@target, sel', tally', fresh rings).
+    Drain rings into the tally (lane-indexed rings must empty before any
+    reordering), fold `part` back into `full` (None on the first ladder
+    step, when `full` IS the working set), reselect at `target`, and
+    hand back fresh rings.  Returns
+    (full', part'@target, sel', tally', rc, rv, rn).
     """
     from .particles import merge_compacted, select_working
 
@@ -364,6 +359,21 @@ def compact_with_rings(full: ParticleState, part, sel, tally,
     part, sel = select_working(full, target)
     rc, rv, rn = make_rings(target, tally.dtype, ring_slots)
     return full, part, sel, tally, rc, rv, rn
+
+
+@partial(jax.jit, static_argnames=("target", "ring_slots"),
+         donate_argnums=(0, 1, 3, 4, 5, 6))
+def compact_with_rings(full: ParticleState, part, sel, tally,
+                       ring_cell, ring_val, ring_cnt, *, target: int,
+                       ring_slots: int = 16):
+    """Fused compaction: drain rings + merge + reselect + fresh rings.
+
+    One dispatch instead of four — each separate dispatch through the
+    axon tunnel carries fixed submission cost, and the death-tail ladder
+    compacts several times per step.  See compact_core.
+    """
+    return compact_core(full, part, sel, tally, ring_cell, ring_val,
+                        ring_cnt, target=target, ring_slots=ring_slots)
 
 
 @partial(jax.jit, static_argnames=("geom", "inv_ntotal", "max_sweeps",
