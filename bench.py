@@ -127,12 +127,38 @@ def bench_deck(name: str, here: str, n_dev: int,
     return rec
 
 
-def main() -> int:
-    import jax
+def _probe_device(timeout_s: int = 300) -> bool:
+    """True when the device backend answers within timeout_s.
 
+    The axon TPU tunnel can wedge so hard that even jax.devices() blocks
+    forever in-process; probing in a SUBPROCESS with a timeout lets the
+    bench emit a recorded error line instead of hanging the driver.
+    """
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; print(int(jnp.arange(4).sum()))"],
+            timeout=timeout_s, capture_output=True, text=True)
+        return r.returncode == 0 and "6" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def main() -> int:
     here = os.path.dirname(os.path.abspath(__file__))
     os.chdir(here)
     sys.path.insert(0, here)
+
+    if not _probe_device():
+        err = {"metric": "error", "value": 0, "unit": "events/s",
+               "vs_baseline": 0,
+               "error": "device backend unreachable (tunnel down?) — "
+                        "no benchmark was run"}
+        print(json.dumps(err), flush=True)
+        return 1
+
+    import jax
 
     n_dev = len(jax.devices())
     results = {}
