@@ -190,3 +190,58 @@ def test_find_cell_nonuniform_fallback_matches():
     fast = _find_cell(edges, pos, nx, width, True)
     slow = _find_cell(edges, pos, nx, width, False)
     np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+
+
+def test_ladder_target_properties():
+    """Compaction ladder sizes: hold live (+5%), floor one 8192-lane pad
+    quantum, {1, 1.5} x 2^k x 8192 shapes only."""
+    from neutral_tpu.driver import _ladder_target
+
+    for live in (0, 1, 100, 8191, 8192, 12000, 100000, 4_300_000,
+                 10_000_000):
+        t = _ladder_target(live, 8192)
+        assert t >= max(int(live * 1.05) + 1, 8192)
+        u = t // 8192
+        assert t % 8192 == 0
+        # u is 2^k or 3*2^(k-1)
+        assert (u & (u - 1)) == 0 or (u % 3 == 0 and
+                                      ((u // 3) & (u // 3 - 1)) == 0)
+    # the half-step actually fires (4.3M live must not round to 8.4M)
+    assert _ladder_target(4_300_000, 8192) < (1 << 23)
+
+
+def test_ctrl_pack_read_roundtrip():
+    """_pack_ctrl inside an 8-shard shard_map -> _read_ctrl recovers the
+    head slots and the exact 64-bit per-shard count totals."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+    import numpy as np
+    from neutral_tpu.parallel.common import (_CTRL_MAXLIVE, _pack_ctrl,
+                                             _read_ctrl)
+    from neutral_tpu.transport import EventCounts
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 virtual devices")
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("p",))
+    # per-shard facet counts that overflow 32 bits when summed
+    hi = jnp.arange(8, dtype=jnp.uint32)
+    lo = jnp.full(8, 0xFFFFFFFF, jnp.uint32)
+
+    def shard_fn(h, l):
+        c = EventCounts(h[0], l[0], jnp.uint32(0), h[0] * 2)
+        return _pack_ctrl("p", c, done=jnp.uint32(7), work=jnp.uint32(5),
+                          err=jnp.uint32(0),
+                          maxlive=(h[0] + 10).astype(jnp.int32))
+
+    fn = shard_map(shard_fn, mesh=mesh, in_specs=(P("p"), P("p")),
+                   out_specs=P(), check_vma=False)
+    ctrl = fn(hi, lo)
+    head, dnf, dnc = _read_ctrl(ctrl)
+    assert head[0] == 7 and head[1] == 5 and head[2] == 0
+    assert head[_CTRL_MAXLIVE] == 7 + 10          # pmax over shards
+    want_nf = sum((int(h) << 32) | 0xFFFFFFFF for h in range(8))
+    assert dnf == want_nf
+    assert dnc == sum(2 * h for h in range(8))
