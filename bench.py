@@ -180,16 +180,18 @@ def main() -> int:
             results[f"{name}_spatial2d"] = rec
             print(json.dumps(rec), flush=True)
 
-        # The oacc/raja RNG scheme (pcg64si, ~5x fewer ALU ops/draw than
-        # threefry-2x64/20) on the collision-dominated deck, where the
-        # fused kernel is RNG-bound.  Same golden, same tolerance.
-        rec = bench_deck("scatter", here, n_dev, rng="pcg64si")
-        rec["n_devices"] = n_dev
-        rec["speedup_vs_threefry"] = (rec["value"]
-                                      / max(results["scatter"]["value"],
-                                            1e-9))
-        results["scatter_pcg"] = rec
-        print(json.dumps(rec), flush=True)
+        # The oacc/raja RNG scheme (pcg64si — reference contract
+        # oacc/neutral.c:710-719; ~2x fewer u32 ALU ops per pair draw
+        # than threefry-2x64/20) on every deck.  Same goldens, same
+        # tolerance; threefry stays the default for omp3 stream parity.
+        for name in decks:
+            rec = bench_deck(name, here, n_dev, rng="pcg64si")
+            rec["n_devices"] = n_dev
+            rec["speedup_vs_threefry"] = (rec["value"]
+                                          / max(results[name]["value"],
+                                                1e-9))
+            results[f"{name}_pcg"] = rec
+            print(json.dumps(rec), flush=True)
 
     head = dict(results[decks[0]])
     head["problems"] = {k: {kk: vv for kk, vv in v.items()

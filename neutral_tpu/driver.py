@@ -305,8 +305,11 @@ class SimulationBase:
         """Full timestep loop.  Returns the global tally sum."""
         cfg = self.cfg
         out = self._print
-        # File outputs come from process 0 only (multi-host runs).
-        dump = cfg.visit_dump and jax.process_index() == 0
+        # Gathers run on EVERY process (they are collectives); only
+        # process 0 writes files — reference: write_all_ranks_to_visit
+        # gathers across ranks and the master rank writes (main.c:129-139).
+        dump = bool(cfg.visit_dump)
+        is_main = jax.process_index() == 0
         for tt in range(1, cfg.niters + 1):
             out(f"\nIteration  {tt}")
             if dump:
@@ -326,10 +329,11 @@ class SimulationBase:
 
             self.elapsed_sim_time += cfg.dt
             if dump:
-                tally2d = np.asarray(self.tally).reshape(cfg.ny, cfg.nx)
-                io_utils.write_bov(f"energy{tt}", tally2d,
-                                   variable="energy",
-                                   time=self.elapsed_sim_time)
+                tally2d = self.host_tally().reshape(cfg.ny, cfg.nx)
+                if is_main:
+                    io_utils.write_bov(f"energy{tt}", tally2d,
+                                       variable="energy",
+                                       time=self.elapsed_sim_time)
             if self.elapsed_sim_time >= cfg.sim_end:
                 out("Reached end of simulation time")
                 break
@@ -355,11 +359,20 @@ class SimulationBase:
         return result
 
     # ------------------------------------------------------------------
+    def host_tally(self) -> np.ndarray:
+        """Global flat (ny*nx,) tally as float64 on the host.
+
+        Collective in multi-process runs (subclasses gather their shard
+        partials) — the analog of the reference's reduce_all_sum before
+        output (omp3/neutral.c:530).  Promoted to f64 so downstream sums
+        don't eat the validation tolerance.
+        """
+        return np.asarray(io_utils.host_global(self.tally),
+                          dtype=np.float64)
+
     def validate(self) -> float:
         """Global tally sum + golden comparison (omp3/neutral.c:520-557)."""
-        # Promote to f64 on host before the final reduction: the 16M-cell sum
-        # itself must not eat the validation tolerance.
-        local = np.asarray(self.tally, dtype=np.float64).sum()
+        local = self.host_tally().sum()
         out = self._print
         out(f"Final global_energy_tally {local:.15e}")
         expected = self.cfg.expected_tally
@@ -383,9 +396,14 @@ class SimulationBase:
                 if _local_coords(self.cfg, self.dtype) else "global")
 
     def checkpoint(self, path: str, step: int) -> None:
-        io_utils.save_checkpoint(path, self.state, np.asarray(self.tally),
-                                 step, self.elapsed_sim_time,
-                                 coords=self._coords_convention())
+        """Write a checkpoint.  Collective: call from every process (the
+        state/tally gathers are all-gathers); only process 0 writes."""
+        state = jax.tree_util.tree_map(io_utils.host_global, self.state)
+        tally = self.host_tally()
+        if jax.process_index() == 0:
+            io_utils.save_checkpoint(path, state, tally, step,
+                                     self.elapsed_sim_time,
+                                     coords=self._coords_convention())
 
     def restore(self, path: str) -> int:
         state, tally, step, t = io_utils.load_checkpoint(
@@ -412,9 +430,12 @@ class SimulationBase:
 
     # ------------------------------------------------------------------
     def _dump_particle_density(self, tt: int) -> None:
+        # particle_density gathers sharded state (collective); write from
+        # process 0 only.
         dens = io_utils.particle_density(self.state, self.cfg.nx, self.cfg.ny)
-        io_utils.write_bov(f"density{tt}", dens, variable="density",
-                           time=self.elapsed_sim_time)
+        if jax.process_index() == 0:
+            io_utils.write_bov(f"density{tt}", dens, variable="density",
+                               time=self.elapsed_sim_time)
 
     def _print(self, msg: str) -> None:
         if not self.quiet:
@@ -1070,7 +1091,9 @@ def main(argv: list[str] | None = None) -> int:
     from .profiler import maybe_trace
     with maybe_trace(args.trace_dir):
         sim.run()
-    if args.checkpoint and is_main:
+    if args.checkpoint:
+        # Collective (state gather) — every process calls it; the write
+        # itself happens on process 0 inside checkpoint().
         sim.checkpoint(args.checkpoint, len(sim.step_metrics))
     return 0
 

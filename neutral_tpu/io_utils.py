@@ -25,6 +25,26 @@ import numpy as np
 from .particles import ParticleState
 
 
+def host_global(x) -> np.ndarray:
+    """Host numpy copy of the GLOBAL value of a (possibly sharded) array.
+
+    In multi-process runs (jax.distributed — the TPU-pod analog of the
+    reference's MPI launch, main.c:62-64) device arrays span shards other
+    processes own; `np.asarray` on those raises.  This gathers the full
+    value to every process first (XLA all-gather over ICI/DCN), which is
+    the SPMD-legal equivalent of the reference's rank-gathering output
+    path (write_all_ranks_to_visit, main.c:129-139).  COLLECTIVE: every
+    process must call it at the same point.  Fully-addressable arrays
+    (the common single-process case) take the plain `np.asarray` path.
+    """
+    if not hasattr(x, "is_fully_addressable") or x.is_fully_addressable:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    # tiled=True is required for global (non-fully-addressable) inputs;
+    # the result is the fully-replicated global value as np.ndarray.
+    return multihost_utils.process_allgather(x, tiled=True)
+
+
 # ---------------------------------------------------------------------------
 # BOV dumps
 # ---------------------------------------------------------------------------
@@ -52,10 +72,14 @@ def write_bov(basename: str, data: np.ndarray, *, variable: str,
 
 
 def particle_density(state: ParticleState, nx: int, ny: int) -> np.ndarray:
-    """Per-cell count of live particles (host-side numpy histogram)."""
-    cellx = np.asarray(state.cellx)
-    celly = np.asarray(state.celly)
-    dead = np.asarray(state.dead)
+    """Per-cell count of live particles (host-side numpy histogram).
+
+    Collective in multi-process runs (host_global gathers the sharded
+    cell/dead arrays): call from every process, write from one.
+    """
+    cellx = host_global(state.cellx)
+    celly = host_global(state.celly)
+    dead = host_global(state.dead)
     live = ~dead
     flat = celly[live].astype(np.int64) * nx + cellx[live].astype(np.int64)
     counts = np.bincount(np.clip(flat, 0, nx * ny - 1), minlength=nx * ny)

@@ -524,8 +524,16 @@ class ShardedSimulation(FlightDecomposedMixin,
         """Global tally (summed over shard partials)."""
         return self.tally_parts.sum(axis=0)
 
+    def host_tally(self) -> np.ndarray:
+        """f64 global tally; gathers the shard partials (collective in
+        multi-process runs — the reference's reduce_all_sum analog,
+        omp3/neutral.c:530)."""
+        from ..io_utils import host_global
+        parts = np.asarray(host_global(self.tally_parts), dtype=np.float64)
+        return parts.sum(axis=0)
+
     def global_tally_sum(self) -> float:
-        return float(np.asarray(self.tally_parts, dtype=np.float64).sum())
+        return float(self.host_tally().sum())
 
     def restore(self, path: str) -> int:
         step = super().restore(path)

@@ -336,9 +336,12 @@ class SpatialSimulation(FlightDecomposedMixin,
 
         Physically invisible (histories are pid-keyed); clears any frozen
         out-of-slab backlog in one stroke, so it doubles as the overflow
-        recovery path.
+        recovery path.  host_global keeps it legal when shards span
+        processes (collective — every process repartitions together,
+        which holds: the triggering ctrl vector is replicated).
         """
-        host = jax.tree_util.tree_map(np.asarray, self.state)
+        from ..io_utils import host_global
+        host = jax.tree_util.tree_map(host_global, self.state)
         owner = np.clip(np.asarray(host.celly) // self.rows, 0,
                         self.nshards - 1)
         cap = _cap_for(owner, np.asarray(host.dead), self.nshards, cap)
@@ -495,8 +498,18 @@ class SpatialSimulation(FlightDecomposedMixin,
         """Global (ny*nx,) tally assembled from the shard slabs."""
         return self.tally_parts.reshape(-1)
 
+    def host_tally(self) -> np.ndarray:
+        """f64 global flat tally; gathers slabs (multi-process collective).
+
+        1D slabs are row-contiguous, so the (nshards, rows*nx) partials
+        flatten straight into the global row-major grid.
+        """
+        from ..io_utils import host_global
+        return np.asarray(host_global(self.tally_parts),
+                          dtype=np.float64).reshape(-1)
+
     def global_tally_sum(self) -> float:
-        return float(np.asarray(self.tally_parts, dtype=np.float64).sum())
+        return float(self.host_tally().sum())
 
     # ------------------------------------------------------------------
     # Checkpoint/restore: the saved layout is whatever lane order the
@@ -691,7 +704,8 @@ class Spatial2DSimulation(SpatialSimulation):
         return (oy * self.px + ox).astype(np.int64)
 
     def _repartition(self, cap: int) -> None:
-        host = jax.tree_util.tree_map(np.asarray, self.state)
+        from ..io_utils import host_global
+        host = jax.tree_util.tree_map(host_global, self.state)
         owner = self._owner_of(host)
         cap = _cap_for(owner, np.asarray(host.dead), self.nshards, cap)
         packed = _partition_by_owner(host, owner, self.nshards, cap)
@@ -808,11 +822,20 @@ class Spatial2DSimulation(SpatialSimulation):
     @property
     def tally(self) -> jnp.ndarray:
         """Global (ny*nx,) tally assembled from the shard blocks."""
-        blocks = np.asarray(self.tally_parts).reshape(
+        from ..io_utils import host_global
+        blocks = host_global(self.tally_parts).reshape(
             self.py, self.px, self.rows, self.cols)
         grid2d = blocks.transpose(0, 2, 1, 3).reshape(
             self.py * self.rows, self.px * self.cols)
         return jnp.asarray(grid2d.reshape(-1))
+
+    def host_tally(self) -> np.ndarray:
+        """f64 global flat tally; gathers + re-tiles the 2D blocks."""
+        from ..io_utils import host_global
+        blocks = np.asarray(host_global(self.tally_parts),
+                            dtype=np.float64).reshape(
+            self.py, self.px, self.rows, self.cols)
+        return blocks.transpose(0, 2, 1, 3).reshape(-1)
 
     # -- checkpoint/restore overrides (inherit restore(); these supply the
     # 2D owner map, sharding spec and the block scatter of the tally) ----

@@ -44,12 +44,10 @@ def _worker_cfgs():
 
 
 def _run_counts(sim, niters):
-    nf = nc = 0
-    for tt in range(1, niters + 1):
-        m = sim.step(tt)
-        nf += m.nfacets
-        nc += m.ncollisions
-    return float(np.asarray(sim.tally, np.float64).sum()), nf, nc
+    total = sim.run()   # same full driver surface the workers exercise
+    nf = sum(m.nfacets for m in sim.step_metrics)
+    nc = sum(m.ncollisions for m in sim.step_metrics)
+    return float(total), nf, nc
 
 
 def _single_process_reference():
