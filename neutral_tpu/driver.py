@@ -257,6 +257,25 @@ class SimulationBase:
                                    np.asarray(self.cs_absorb.values))):
             import dataclasses
             self.geom = dataclasses.replace(self.geom, same_xs=True)
+        # Arbitrary (non-quartic) cs tables on the Mosaic engines: build
+        # the VMEM tile layouts for the banded in-kernel lookup
+        # (pallas_table.py).  The fused flight kernel is analytic-only so
+        # far, so auto-mode table decks route to the general ring engine.
+        self.scatter_layout = self.absorb_layout = None
+        tables_analytic = (self.cs_scatter.analytic
+                           and self.cs_absorb.analytic)
+        if self.use_flight and not tables_analytic and engine == "auto":
+            self.use_flight = False
+            self.use_pallas = is_f32 and jax.default_backend() == "tpu"
+        if self.use_pallas and not tables_analytic:
+            from .pallas_table import build_layout
+            self.scatter_layout = build_layout(
+                self.cs_scatter.keys, self.cs_scatter.values,
+                dtype=self.dtype)
+            if not self.geom.same_xs:
+                self.absorb_layout = build_layout(
+                    self.cs_absorb.keys, self.cs_absorb.values,
+                    dtype=self.dtype)
         self.elapsed_sim_time = 0.0
         self.wallclock = 0.0
         self.profile = Profile()
@@ -560,7 +579,9 @@ class Simulation(SimulationBase):
                     part, self.tally, counts, rc, rv, rn, self.cs_scatter,
                     self.cs_absorb, self.geom, master_key, inv_ntotal,
                     max_sw, k_events=self.k_events,
-                    interpret=getattr(self, "pallas_interpret", False))
+                    interpret=getattr(self, "pallas_interpret", False),
+                    scatter_layout=self.scatter_layout,
+                    absorb_layout=self.absorb_layout)
             else:
                 part, self.tally, counts, done, n_work = sweep_chunk(
                     part, self.tally, counts, self.mesh, self.cs_scatter,

@@ -32,6 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .particles import ParticleState
+from .pallas_table import BandedTable, TableLayout, energy_band
 from .transport import EventCounts, Geometry, sweep_core, working_mask
 from .xs import CrossSection
 
@@ -58,7 +59,19 @@ _NF = len(_FIELDS)
 def _kernel(geom: Geometry, scatter_tab: CrossSection,
             absorb_tab: CrossSection, inv_ntotal: float, k_events: int,
             ring_slots: int, tally_dtype, has_slab: bool, has_col: bool,
-            mk_ref, xoff_ref, yoff_ref, *refs):
+            table_mode: bool, mk_ref, xoff_ref, yoff_ref, *refs):
+    if table_mode:
+        # Arbitrary-table decks: band scalars + VMEM-resident table tiles
+        # replace the closed-form evaluation (pallas_table.py).
+        band_ref = refs[0]
+        ntab = 4 if geom.same_xs else 8
+        tab_refs = refs[1:1 + ntab]
+        refs = refs[1 + ntab:]
+        scatter_tab = BandedTable(*tab_refs[:4],
+                                  band_ref[0], band_ref[1])
+        absorb_tab = (scatter_tab if geom.same_xs
+                      else BandedTable(*tab_refs[4:8],
+                                       band_ref[2], band_ref[3]))
     in_refs = refs[:_NF]
     rc_in, rv_in, rn_in = refs[_NF:_NF + 3]
     out_refs = refs[_NF + 3:2 * _NF + 3]
@@ -147,18 +160,27 @@ def pallas_multi_sweep(state: ParticleState, ring_cell, ring_val, ring_cnt,
                        geom: Geometry, master_key, inv_ntotal: float,
                        tally_dtype_arr, k_events: int = 8,
                        ring_slots: int = 16, interpret: bool = False,
-                       y_off=None, x_off=None):
+                       y_off=None, x_off=None,
+                       scatter_layout: TableLayout | None = None,
+                       absorb_layout: TableLayout | None = None, band=None):
     """Advance every lane through k_events events in one fused kernel.
 
     The caller owns the pending-flush ring (ring_cell/ring_val: (S, N),
     ring_cnt: (N,)).  Lanes whose ring fills up pause in place (in-kernel
     gate) until the caller drains, so overflow is impossible by
     construction.  Returns (state', ring', nfacets, ncollisions).
+
+    Arbitrary-table decks pass `scatter_layout` (+ `absorb_layout` unless
+    geom.same_xs) and `band` — the (4,) int32 [srlo, srhi, arlo, arhi]
+    live-energy row band from pallas_table.energy_band — instead of
+    analytic tables.
     """
+    table_mode = scatter_layout is not None
     if geom.regions is None or not geom.dx:
         raise ValueError("pallas sweep requires fast_math geometry")
-    if not (scatter_tab.analytic and absorb_tab.analytic):
-        raise ValueError("pallas sweep requires analytic cross-sections")
+    if not table_mode and not (scatter_tab.analytic and absorb_tab.analytic):
+        raise ValueError("pallas sweep requires analytic cross-sections "
+                         "or a TableLayout (pallas_table.build_layout)")
 
     n = state.x.shape[0]
     rows = _block_rows(n)
@@ -202,10 +224,27 @@ def pallas_multi_sweep(state: ParticleState, ring_cell, ring_val, ring_cnt,
            jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.int32),
            jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.int32)))
 
+    # Table-mode extras ride between the SMEM scalars and the state refs:
+    # the (4,) band vector (SMEM) + the VMEM table tiles, all invariant
+    # across grid steps (whole-array specs, no pipelining).
+    extra_ins = []
+    extra_specs = []
+    if table_mode:
+        extra_ins.append(jnp.asarray(band, jnp.int32))
+        extra_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        tabs = [scatter_layout.k0, scatter_layout.k1,
+                scatter_layout.v0, scatter_layout.v1]
+        if not geom.same_xs:
+            tabs += [absorb_layout.k0, absorb_layout.k1,
+                     absorb_layout.v0, absorb_layout.v1]
+        extra_ins += tabs
+        extra_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(tabs)
+
     # Alias state + ring inputs onto their outputs: the kernel updates
-    # in place (no 600MB+ of copy traffic per call).  Inputs 0,1,2 are the
-    # SMEM scalars (master_key, x_off, y_off).
-    aliases = {i + 3: i for i in range(_NF + 3)}
+    # in place (no 600MB+ of copy traffic per call).  The first inputs are
+    # the SMEM scalars (master_key, x_off, y_off) + any table extras.
+    prefix = 3 + len(extra_ins)
+    aliases = {i + prefix: i for i in range(_NF + 3)}
 
     has_slab = y_off is not None
     has_col = x_off is not None
@@ -215,9 +254,10 @@ def pallas_multi_sweep(state: ParticleState, ring_cell, ring_val, ring_cnt,
                else jnp.int32(0)).reshape(1, 1)
     out = pl.pallas_call(
         partial(_kernel, geom, scatter_tab, absorb_tab, inv_ntotal,
-                k_events, ring_slots, tally_dtype, has_slab, has_col),
+                k_events, ring_slots, tally_dtype, has_slab, has_col,
+                table_mode),
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 + extra_specs
         + [state_spec] * _NF + [ring_spec, ring_spec, state_spec],
         out_specs=tuple([state_spec] * _NF)
         + (ring_spec, ring_spec, state_spec, state_spec, state_spec),
@@ -230,7 +270,7 @@ def pallas_multi_sweep(state: ParticleState, ring_cell, ring_val, ring_cnt,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(jnp.asarray(master_key, jnp.uint32).reshape(1, 1), xoff_in, yoff_in,
-      *ins)
+      *extra_ins, *ins)
 
     new_vals = {}
     for f, arr in zip(_FIELDS, out[:_NF]):
@@ -385,7 +425,9 @@ def pallas_sweep_chunk(state: ParticleState, tally: jnp.ndarray,
                        absorb_tab: CrossSection, geom: Geometry,
                        master_key, inv_ntotal: float, max_sweeps: int,
                        k_events: int = 8, interpret: bool = False,
-                       y_off=None, x_off=None):
+                       y_off=None, x_off=None,
+                       scatter_layout: TableLayout | None = None,
+                       absorb_layout: TableLayout | None = None):
     """Bounded Pallas sweep chunk (the TPU fast path).
 
     Runs ceil(max_sweeps / k_events) fused kernel calls inside one
@@ -409,10 +451,26 @@ def pallas_sweep_chunk(state: ParticleState, tally: jnp.ndarray,
 
     def body(carry):
         s, t, c, rc, rv, rn, it = carry
+        band = None
+        if scatter_layout is not None:
+            # Re-derive the live-energy row band before every kernel call:
+            # energies within a call can only decay by the k-event scatter
+            # margin energy_band builds in (pallas_table.py docstring).
+            w = working_mask(s, geom, y_off, x_off)
+            srlo, srhi = energy_band(s.energy, w, scatter_layout.keys,
+                                     k_events)
+            if geom.same_xs:
+                band = jnp.stack([srlo, srhi, srlo, srhi])
+            else:
+                arlo, arhi = energy_band(s.energy, w, absorb_layout.keys,
+                                         k_events)
+                band = jnp.stack([srlo, srhi, arlo, arhi])
         s, rc, rv, rn, nf, nc = pallas_multi_sweep(
             s, rc, rv, rn, scatter_tab, absorb_tab, geom, master_key,
             inv_ntotal, t, k_events=k_events, ring_slots=S,
-            interpret=interpret, y_off=y_off, x_off=x_off)
+            interpret=interpret, y_off=y_off, x_off=x_off,
+            scatter_layout=scatter_layout, absorb_layout=absorb_layout,
+            band=band)
         working = working_mask(s, geom, y_off, x_off)
         paused = working & (rn >= S)
         npaused = jnp.count_nonzero(paused)

@@ -151,3 +151,25 @@ def test_sorted_pair_raster_vs_xla_dda():
     out_x = np.asarray(flat).reshape(ny, nx)
     np.testing.assert_allclose(out_p.sum(), out_x.sum(), rtol=1e-5)
     np.testing.assert_allclose(out_p, out_x, rtol=2e-3, atol=1e-4)
+
+
+def test_ring_engine_table_mode_vs_xla(tmp_path):
+    """General (non-quartic) cs tables through the banded VMEM lookup
+    (pallas_table.py) on the real chip — the reference's arbitrary-table
+    capability (omp3/neutral.c:498-517) on the Mosaic ring engine."""
+    from neutral_tpu.xs import write_cs_file
+
+    rng = np.random.default_rng(17)
+    n = 4097
+    keys = np.logspace(-2, 8, n)
+    keys = np.sort(keys * (1.0 + 0.05 * rng.random(n) / n))
+    u = np.linspace(0.0, 1.0, n)
+    values = 1.0 + 1e3 * (1.0 - u) * (1.0 + 0.2 * np.sin(37 * u))
+    write_cs_file(str(tmp_path / "elastic_scatter.cs"), keys, values)
+    write_cs_file(str(tmp_path / "capture.cs"), keys, values)
+
+    cfg = _mk_cfg(params_path=str(tmp_path / "deck.params"))
+    from neutral_tpu.driver import Simulation
+    sim = Simulation(cfg.with_(engine="pallas"), quiet=True)
+    assert sim.scatter_layout is not None, "table mode not engaged"
+    _compare(cfg, "pallas")
