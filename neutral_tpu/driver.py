@@ -259,15 +259,12 @@ class SimulationBase:
             self.geom = dataclasses.replace(self.geom, same_xs=True)
         # Arbitrary (non-quartic) cs tables on the Mosaic engines: build
         # the VMEM tile layouts for the banded in-kernel lookup
-        # (pallas_table.py).  The fused flight kernel is analytic-only so
-        # far, so auto-mode table decks route to the general ring engine.
+        # (pallas_table.py).  Both fused kernels (ring sweep + flight)
+        # consume them, so table decks keep their auto-engine routing.
         self.scatter_layout = self.absorb_layout = None
         tables_analytic = (self.cs_scatter.analytic
                            and self.cs_absorb.analytic)
-        if self.use_flight and not tables_analytic and engine == "auto":
-            self.use_flight = False
-            self.use_pallas = is_f32 and jax.default_backend() == "tpu"
-        if self.use_pallas and not tables_analytic:
+        if (self.use_pallas or self.use_flight) and not tables_analytic:
             from .pallas_table import build_layout
             self.scatter_layout = build_layout(
                 self.cs_scatter.keys, self.cs_scatter.values,
@@ -885,7 +882,9 @@ class Simulation(SimulationBase):
                 master_key, inv_ntotal, max_calls, k_pieces=k_pieces,
                 tile=TILE, pair_cap=PCAP, interpret=interpret,
                 use_ring_walker=use_walker, ntx=ntx, nty=nty,
-                seg_plane=use_walker)
+                seg_plane=use_walker,
+                scatter_layout=self.scatter_layout,
+                absorb_layout=self.absorb_layout)
             if use_walker:
                 # Ring-direct in-loop walker: segments rasterized into
                 # rbuf INSIDE the chunk program; rings are empty at every

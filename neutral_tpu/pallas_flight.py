@@ -34,6 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .flight import flight_core, u64_sum_u32
 from .particles import ParticleState
+from .pallas_table import BandedTable, TableLayout, energy_band
 from .transport import EventCounts, Geometry
 from .xs import CrossSection
 from . import rng
@@ -58,7 +59,19 @@ def _block_rows(n: int) -> int:
 def _kernel(geom: Geometry, scatter_tab: CrossSection,
             absorb_tab: CrossSection, inv_ntotal: float, k_pieces: int,
             f_slots: int, s_slots: int, tally_dtype, windowed, seg_plane,
-            mk_ref, *refs):
+            table_mode: bool, mk_ref, *refs):
+    if table_mode:
+        # Arbitrary-table decks: band scalars + VMEM table tiles replace
+        # the closed-form evaluation (pallas_table.py; same machinery as
+        # pallas_sweep._kernel).
+        band_ref = refs[0]
+        ntab = 4 if geom.same_xs else 8
+        tab_refs = refs[1:1 + ntab]
+        refs = refs[1 + ntab:]
+        scatter_tab = BandedTable(*tab_refs[:4], band_ref[0], band_ref[1])
+        absorb_tab = (scatter_tab if geom.same_xs
+                      else BandedTable(*tab_refs[4:8],
+                                       band_ref[2], band_ref[3]))
     in_refs = refs[:_NF]
     fc_in, fv_in, fn_in = refs[_NF:_NF + 3]
     sring_in = refs[_NF + 3:_NF + 3 + _SEGF]
@@ -200,7 +213,9 @@ def pallas_flight_multi(state: ParticleState, fring, sring,
                         absorb_tab: CrossSection, geom: Geometry,
                         master_key, inv_ntotal: float, tally_dtype_arr,
                         k_pieces: int = 8, interpret: bool = False,
-                        x_off=None, y_off=None, seg_plane: bool = False):
+                        x_off=None, y_off=None, seg_plane: bool = False,
+                        scatter_layout: TableLayout | None = None,
+                        absorb_layout: TableLayout | None = None, band=None):
     """Advance every lane through k_pieces flight pieces in one kernel.
 
     fring = (cells (Sf,N) i32, vals (Sf,N), count (N,) i32) — pending
@@ -215,6 +230,11 @@ def pallas_flight_multi(state: ParticleState, fring, sring,
     """
     if geom.rects is None or not geom.dx:
         raise ValueError("pallas flight requires fast_math rect geometry")
+    table_mode = scatter_layout is not None
+    if not table_mode and not (scatter_tab.analytic
+                               and absorb_tab.analytic):
+        raise ValueError("pallas flight requires analytic cross-sections "
+                         "or a TableLayout (pallas_table.build_layout)")
     windowed = x_off is not None or y_off is not None
     n = state.x.shape[0]
     rows = _block_rows(n)
@@ -271,8 +291,24 @@ def pallas_flight_multi(state: ParticleState, fring, sring,
            jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.uint32),
            jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.int32)))
 
+    # Table-mode extras between the SMEM scalar row and the state refs
+    # (invariant whole-array operands, same scheme as pallas_sweep).
+    extra_ins = []
+    extra_specs = []
+    if table_mode:
+        extra_ins.append(jnp.asarray(band, jnp.int32))
+        extra_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        tabs = [scatter_layout.k0, scatter_layout.k1,
+                scatter_layout.v0, scatter_layout.v1]
+        if not geom.same_xs:
+            tabs += [absorb_layout.k0, absorb_layout.k1,
+                     absorb_layout.v0, absorb_layout.v1]
+        extra_ins += tabs
+        extra_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(tabs)
+
     n_io = _NF + 4 + _SEGF
-    aliases = {i + 1: i for i in range(n_io)}
+    prefix = 1 + len(extra_ins)
+    aliases = {i + prefix: i for i in range(n_io)}
 
     mk = jnp.asarray(master_key, jnp.uint32).reshape(1, 1)
     if windowed:
@@ -286,9 +322,9 @@ def pallas_flight_multi(state: ParticleState, fring, sring,
     out = pl.pallas_call(
         partial(_kernel, geom, scatter_tab, absorb_tab, inv_ntotal,
                 k_pieces, f_slots, s_slots, tally_dtype, windowed,
-                seg_plane),
+                seg_plane, table_mode),
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + extra_specs
         + [state_spec] * _NF + [fring_spec, fring_spec, state_spec]
         + [sring_spec] * _SEGF + [state_spec],
         out_specs=tuple([state_spec] * _NF)
@@ -300,7 +336,7 @@ def pallas_flight_multi(state: ParticleState, fring, sring,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(mk, *ins)
+    )(mk, *extra_ins, *ins)
 
     new_vals = {}
     for f, arr in zip(_FIELDS, out[:_NF]):
@@ -413,7 +449,9 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
                              x_off=None, y_off=None,
                              use_ring_walker: bool = False,
                              rbuf=None, ntx: int = 0, nty: int = 0,
-                             seg_plane: bool = False):
+                             seg_plane: bool = False,
+                             scatter_layout: TableLayout | None = None,
+                             absorb_layout: TableLayout | None = None):
     """Fused flight chunk: kernel calls + in-loop ring drains.
 
     Flush rings drain straight into the tally (pallas_sweep._drain_rings).
@@ -480,11 +518,26 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
 
     def body(carry):
         (s, t, c, fc, fv, fn, sf, sn, sb, base, sp, rb, it, full) = carry
+        band = None
+        if scatter_layout is not None:
+            # Live-energy row band, re-derived before every kernel call;
+            # a flight piece has at most one collision, so k_pieces is
+            # the scatter-decay exponent (pallas_table.energy_band).
+            w0 = working(s)
+            srlo, srhi = energy_band(s.energy, w0, scatter_layout.keys,
+                                     k_pieces)
+            if geom.same_xs:
+                band = jnp.stack([srlo, srhi, srlo, srhi])
+            else:
+                arlo, arhi = energy_band(s.energy, w0, absorb_layout.keys,
+                                         k_pieces)
+                band = jnp.stack([srlo, srhi, arlo, arhi])
         s, (fc, fv, fn), (sf, sn), nfac, ncol = pallas_flight_multi(
             s, (fc, fv, fn), (sf, sn), scatter_tab, absorb_tab, geom,
             master_key, inv_ntotal, t, k_pieces=k_pieces,
             interpret=interpret, x_off=x_off, y_off=y_off,
-            seg_plane=seg_plane)
+            seg_plane=seg_plane, scatter_layout=scatter_layout,
+            absorb_layout=absorb_layout, band=band)
         w = working(s)
         f_full = fn >= fc.shape[0] - 1
         s_full = sn >= s_slots
@@ -606,7 +659,9 @@ def pallas_flight_chunk(state: ParticleState, tally, counts: EventCounts,
                         interpret: bool = False, x_off=None, y_off=None,
                         use_ring_walker: bool = False,
                         ntx: int = 0, nty: int = 0,
-                        seg_plane: bool = False):
+                        seg_plane: bool = False,
+                        scatter_layout: TableLayout | None = None,
+                        absorb_layout: TableLayout | None = None):
     """Jitted single-device wrapper of pallas_flight_chunk_impl.
 
     `rbuf` — the padded (nty*tile, ntx*tile) f32 raster buffer, or None
@@ -624,7 +679,8 @@ def pallas_flight_chunk(state: ParticleState, tally, counts: EventCounts,
         max_calls, k_pieces=k_pieces, tile=tile, pair_cap=pair_cap,
         interpret=interpret, x_off=x_off, y_off=y_off,
         use_ring_walker=use_ring_walker, rbuf=rbuf, ntx=ntx, nty=nty,
-        seg_plane=seg_plane)
+        seg_plane=seg_plane, scatter_layout=scatter_layout,
+        absorb_layout=absorb_layout)
     ctrl = jnp.stack([done.astype(jnp.int32), sbase, spairs, n_work,
                       npend])
     return (state, tally, counts, fc, fv, fn, sfields, sn, segbuf, rbuf,

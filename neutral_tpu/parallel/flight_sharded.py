@@ -311,7 +311,9 @@ class FlightDecomposedMixin:
                 tile=TILE, pair_cap=PCAP, interpret=interpret,
                 x_off=x_off, y_off=y_off, use_ring_walker=walker,
                 rbuf=rb[0] if in_loop else None, ntx=_ntx, nty=_nty,
-                seg_plane=in_loop)
+                seg_plane=in_loop,
+                scatter_layout=self.scatter_layout,
+                absorb_layout=self.absorb_layout)
             if in_loop:
                 # Rings drained in-loop: rbuf carries the deposits and
                 # ringwork below is identically 0 (no _walker_drain).

@@ -167,7 +167,8 @@ def pallas_sweep_chunk_sharded(state: ParticleState, tally_parts,
                                absorb_tab: CrossSection, geom: Geometry,
                                master_key, inv_ntotal: float,
                                mesh_axes: Mesh, max_sweeps: int,
-                               k_events: int = 8):
+                               k_events: int = 8, scatter_layout=None,
+                               absorb_layout=None):
     """Fused-Pallas sweep chunk over the device mesh (TPU multi-chip path).
 
     Each shard runs the same pallas_sweep_chunk as the single-chip driver
@@ -185,10 +186,13 @@ def pallas_sweep_chunk_sharded(state: ParticleState, tally_parts,
     pspec = _state_spec(axis)
 
     def shard_fn(s, t_row, rc, rv, rn):
+        # Table layouts (arbitrary-cs decks) ride in by closure —
+        # replicated small arrays; each shard derives its own energy band.
         (s, t, c, rc, rv, rn, done, live) = pallas_sweep_chunk(
             s, t_row[0], EventCounts.zeros(), rc, rv, rn, scatter_tab,
             absorb_tab, geom, master_key, inv_ntotal, max_sweeps,
-            k_events=k_events)
+            k_events=k_events, scatter_layout=scatter_layout,
+            absorb_layout=absorb_layout)
         ctrl = _pack_ctrl(axis, c, done=jax.lax.pmax(done, axis),
                           work=None, err=None, maxlive=live)
         return s, t[None, :], rc, rv, rn, ctrl
@@ -463,7 +467,9 @@ class ShardedSimulation(FlightDecomposedMixin,
                     part, self.tally_parts, rc, rv, rn,
                     self.cs_scatter, self.cs_absorb, self.geom, master_key,
                     inv_ntotal, self.device_mesh, max_sw,
-                    k_events=self.k_events)
+                    k_events=self.k_events,
+                    scatter_layout=self.scatter_layout,
+                    absorb_layout=self.absorb_layout)
             else:
                 (part, self.tally_parts,
                  ctrl_dev) = sweep_chunk_sharded(

@@ -290,7 +290,9 @@ class SpatialSimulation(FlightDecomposedMixin,
                     self.cs_scatter, self.cs_absorb, self.geom, mk,
                     1.0 / self.cfg.nparticles, self.chunk_sweeps,
                     k_events=self.k_events, y_off=y_off,
-                    interpret=getattr(self, "pallas_interpret", False))
+                    interpret=getattr(self, "pallas_interpret", False),
+                    scatter_layout=self.scatter_layout,
+                    absorb_layout=self.absorb_layout)
                 rg = (rc, rv, rn)
             else:
                 s, t, c, nsweeps, _ = transport.sweep_chunk(
@@ -774,7 +776,9 @@ class Spatial2DSimulation(SpatialSimulation):
                     self.cs_scatter, self.cs_absorb, self.geom, mk,
                     1.0 / self.cfg.nparticles, self.chunk_sweeps,
                     k_events=self.k_events, y_off=y_off, x_off=x_off,
-                    interpret=getattr(self, "pallas_interpret", False))
+                    interpret=getattr(self, "pallas_interpret", False),
+                    scatter_layout=self.scatter_layout,
+                    absorb_layout=self.absorb_layout)
                 rg = (rc, rv, rn)
             else:
                 s, t, c, nsweeps, _ = transport.sweep_chunk(

@@ -186,3 +186,63 @@ def test_table_deck_auto_engine_cpu_stays_xla(tmp_path):
     cfg = _table_deck_cfg(tmp_path, nparticles=8192)
     sim = Simulation(cfg, quiet=True)
     assert sim.use_pallas is False and sim.use_flight is False
+
+
+@pytest.mark.slow
+def test_table_deck_fused_flight_interpret_matches_xla_flight(tmp_path):
+    """Non-quartic tables through the fused Mosaic FLIGHT kernel
+    (interpret): counts exact vs the XLA flight loop, tally to f32
+    accumulation rounding.  Mixed vacuum + dense-block deck so pieces,
+    collisions, rasterizer segments and flush rings all fire."""
+    cfg = _table_deck_cfg(
+        tmp_path, nx=32, ny=32, dt=2e-5, nparticles=256,
+        initial_energy=1.0e4, chunk_sweeps=256,
+        source=SourceBox(0.1, 0.1, 0.8, 0.8),
+        problems=(ProblemRegion(0.0, 0.0, 0.0, 1.0, 1.0),
+                  ProblemRegion(1.0e4, 0.4, 0.4, 0.2, 0.2)))
+
+    sim_x = Simulation(cfg.with_(engine="flight"), quiet=True)
+    assert not sim_x.cs_scatter.analytic
+    m_x = sim_x.step(1)           # CPU: the XLA flight loop
+    t_x = np.asarray(sim_x.tally, np.float64)
+
+    sim_f = Simulation(cfg.with_(engine="flight"), quiet=True)
+    assert sim_f.scatter_layout is not None
+    sim_f.flight_max_calls = 2
+    sim_f.flight_k_pieces = 2
+    m_f = sim_f._step_flight_fused(1, interpret=True)
+    t_f = np.asarray(sim_f.tally, np.float64)
+
+    assert (m_f.nfacets, m_f.ncollisions, m_f.nprocessed) == \
+        (m_x.nfacets, m_x.ncollisions, m_x.nprocessed)
+    np.testing.assert_allclose(t_f.sum(), t_x.sum(), rtol=1e-6)
+    big = np.abs(t_x) > 1e-6 * np.abs(t_x).max()
+    np.testing.assert_allclose(t_f[big], t_x[big], rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_table_deck_spatial_pallas_interpret_matches_single(tmp_path):
+    """Spatial y-slab decomposition on the fused Pallas path with a
+    non-quartic table deck (interpret) == the single-device XLA engine:
+    the table layouts ride into every shard's kernel and each shard
+    derives its own live-energy band."""
+    from neutral_tpu.parallel import SpatialSimulation
+
+    cfg = _table_deck_cfg(tmp_path, nparticles=1024, nx=64, ny=64,
+                          dt=5e-5, chunk_sweeps=8,
+                          initial_energy=1.0e4,
+                          source=SourceBox(0.3, 0.3, 0.4, 0.4))
+    single = Simulation(cfg.with_(engine="xla"), quiet=True)
+    single.step(1)
+
+    spatial = SpatialSimulation(cfg.with_(engine="pallas"), quiet=True)
+    assert spatial.use_pallas and spatial.scatter_layout is not None
+    spatial.pallas_interpret = True
+    spatial.k_events = 4
+    spatial.step(1)
+
+    a, b = single.step_metrics[0], spatial.step_metrics[0]
+    assert (a.nfacets, a.ncollisions) == (b.nfacets, b.ncollisions)
+    np.testing.assert_allclose(
+        np.asarray(single.tally, np.float64).sum(),
+        np.asarray(spatial.host_tally(), np.float64).sum(), rtol=1e-6)
