@@ -794,13 +794,17 @@ class Simulation(SimulationBase):
         nsweeps = 0
         inv_ntotal = 1.0 / cfg.nparticles
 
+        from .raster import band_rows
         nty, ntx = grid_shape(cfg.nx, cfg.ny, TILE)
         SCAP = self.flight_seg_cap
         # VMEM-resident segment walker: no pair expansion, so the pair
         # budget is effectively unbounded and drains are gated by the
-        # segment-row capacity alone.  Falls back to the tiered
-        # sorted-pair pipeline on meshes too big for VMEM residency.
+        # segment-row capacity alone.  Buffers over the VMEM budget run
+        # in row bands (raster._walk_banded) — the sorted-pair fallback
+        # remains only for meshes too WIDE for a single band row.
         use_walker = walker_fits(ntx, nty)
+        bnty = band_rows(ntx, nty)
+        band_nty = None if bnty >= nty else bnty
         PCAP = (1 << 30) if use_walker else self.flight_pair_cap
         TIERS = [1 << 20, 1 << 22, self.flight_pair_cap]
         tally_dt = self.tally.dtype
@@ -884,7 +888,7 @@ class Simulation(SimulationBase):
                 use_ring_walker=use_walker, ntx=ntx, nty=nty,
                 seg_plane=use_walker,
                 scatter_layout=self.scatter_layout,
-                absorb_layout=self.absorb_layout)
+                absorb_layout=self.absorb_layout, band_nty=band_nty)
             if use_walker:
                 # Ring-direct in-loop walker: segments rasterized into
                 # rbuf INSIDE the chunk program; rings are empty at every
@@ -905,7 +909,8 @@ class Simulation(SimulationBase):
             phases["sweep"] += t1 - t0
             phases["raster"] += _time.perf_counter() - t1
             if dbg:
-                print(f"[flight-fused] n={part.n} chunk={t1 - t0:.2f}s "
+                print(f"[flight-fused] n={part.n} chunk={t1 - t0:.3f}s "
+                      f"calls={done // max(k_pieces, 1)} "
                       f"sbase={nseg} npend={npend}", flush=True)
             if live == 0:
                 break
@@ -953,7 +958,12 @@ class Simulation(SimulationBase):
         self.state = full
         self.tally = self.tally + rbuf[:cfg.ny, :cfg.nx].reshape(
             -1).astype(tally_dt)
+        t4 = _time.perf_counter()
         jax.block_until_ready(self.tally)
+        # The final sync drains every still-queued dispatch (final ring
+        # drain, rbuf merge, trailing compaction) — time it so the phase
+        # table accounts for the whole step.
+        phases["final_sync"] = _time.perf_counter() - t4
         step_time = self.profile.stop(f"step{tt}")
         nf, nc = counts.totals()
         m = StepMetrics(step=tt, step_time=step_time, nfacets=nf,

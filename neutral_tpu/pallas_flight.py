@@ -451,7 +451,8 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
                              rbuf=None, ntx: int = 0, nty: int = 0,
                              seg_plane: bool = False,
                              scatter_layout: TableLayout | None = None,
-                             absorb_layout: TableLayout | None = None):
+                             absorb_layout: TableLayout | None = None,
+                             band_nty: int | None = None):
     """Fused flight chunk: kernel calls + in-loop ring drains.
 
     Flush rings drain straight into the tally (pallas_sweep._drain_rings).
@@ -509,7 +510,7 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
         rb, sf, sn = op
         rb, (sf, sn) = rasterize_walk_rings_impl(
             rb, sf, sn, tile=tile, ntx=ntx, nty=nty, interpret=interpret,
-            kk_authoritative=seg_plane)
+            kk_authoritative=seg_plane, band_nty=band_nty)
         return rb, sf, sn
 
     def cond(carry):
@@ -647,7 +648,7 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
 @partial(jax.jit, static_argnames=("geom", "inv_ntotal", "max_calls",
                                    "k_pieces", "tile", "pair_cap",
                                    "interpret", "use_ring_walker",
-                                   "ntx", "nty", "seg_plane"),
+                                   "ntx", "nty", "seg_plane", "band_nty"),
          donate_argnums=(0, 1, 3, 4, 5, 6, 7, 8, 11))
 def pallas_flight_chunk(state: ParticleState, tally, counts: EventCounts,
                         fc, fv, fn, sfields, sn, segbuf, sbase, spairs,
@@ -661,7 +662,8 @@ def pallas_flight_chunk(state: ParticleState, tally, counts: EventCounts,
                         ntx: int = 0, nty: int = 0,
                         seg_plane: bool = False,
                         scatter_layout: TableLayout | None = None,
-                        absorb_layout: TableLayout | None = None):
+                        absorb_layout: TableLayout | None = None,
+                        band_nty: int | None = None):
     """Jitted single-device wrapper of pallas_flight_chunk_impl.
 
     `rbuf` — the padded (nty*tile, ntx*tile) f32 raster buffer, or None
@@ -680,7 +682,7 @@ def pallas_flight_chunk(state: ParticleState, tally, counts: EventCounts,
         interpret=interpret, x_off=x_off, y_off=y_off,
         use_ring_walker=use_ring_walker, rbuf=rbuf, ntx=ntx, nty=nty,
         seg_plane=seg_plane, scatter_layout=scatter_layout,
-        absorb_layout=absorb_layout)
+        absorb_layout=absorb_layout, band_nty=band_nty)
     ctrl = jnp.stack([done.astype(jnp.int32), sbase, spairs, n_work,
                       npend])
     return (state, tally, counts, fc, fv, fn, sfields, sn, segbuf, rbuf,

@@ -91,16 +91,18 @@ def raster_drain_sharded(rbufs, segbuf, scnt_rows, mesh_axes: Mesh, *,
     shard's BLOCK (nx/ny/ntx/nty are block extents and segments are
     window-local).
     """
-    from ..raster import rasterize_walk_impl
+    from ..raster import band_rows, rasterize_walk_impl
 
     axis = mesh_axes.axis_names
     axis = axis[0] if len(axis) == 1 else axis
+    _b = band_rows(ntx, nty) if use_walker else nty
+    _band = None if _b >= nty else _b
 
     def shard_fn(rb, sb, cnt):
         if use_walker:
             out = rasterize_walk_impl(rb[0], sb, cnt[0], tile=tile,
                                       ntx=ntx, nty=nty,
-                                      interpret=interpret)
+                                      interpret=interpret, band_nty=_band)
         elif use_pallas_raster:
             out = raster_drain_impl(rb[0], sb, cnt[0], tile=tile, ntx=ntx,
                                     nty=nty, pair_cap=pair_cap,
@@ -271,13 +273,15 @@ class FlightDecomposedMixin:
         from ..pallas_flight import (_extract_segments,
                                      pallas_flight_chunk_impl)
         from ..pallas_sweep import _drain_rings
-        from ..raster import TILE, grid_shape, walker_fits
+        from ..raster import TILE, band_rows, grid_shape, walker_fits
 
         axes = self._axes_names()
         spec = _state_spec(axes)
         nshards = self.nshards
         _nty, _ntx = grid_shape(self.geom.nx, self.geom.ny, TILE)
         walker = walker_fits(_ntx, _nty)
+        _bnty = band_rows(_ntx, _nty)
+        band_nty = None if _bnty >= _nty else _bnty
         PCAP = ((1 << 30) if walker
                 else max(self.flight_pair_cap // nshards, 65536))
         geom = self.geom
@@ -313,7 +317,7 @@ class FlightDecomposedMixin:
                 rbuf=rb[0] if in_loop else None, ntx=_ntx, nty=_nty,
                 seg_plane=in_loop,
                 scatter_layout=self.scatter_layout,
-                absorb_layout=self.absorb_layout)
+                absorb_layout=self.absorb_layout, band_nty=band_nty)
             if in_loop:
                 # Rings drained in-loop: rbuf carries the deposits and
                 # ringwork below is identically 0 (no _walker_drain).
@@ -430,16 +434,19 @@ class FlightDecomposedMixin:
         via the VMEM-resident walker (separate dispatch — see
         _flight_chunk_fused).  Returns (rbufs, sfields, sn) with the
         rings emptied."""
-        from ..raster import TILE, grid_shape, rasterize_walk_rings_impl
+        from ..raster import (TILE, band_rows, grid_shape,
+                              rasterize_walk_rings_impl)
 
         axes = self._axes_names()
         _nty, _ntx = grid_shape(self.geom.nx, self.geom.ny, TILE)
+        _b = band_rows(_ntx, _nty)
+        _band = None if _b >= _nty else _b
         interpret = getattr(self, "flight_fused_interpret", False)
 
         def shard_fn(rb, sf, snn):
             rb0, (sf, snn) = rasterize_walk_rings_impl(
                 rb[0], sf, snn, tile=TILE, ntx=_ntx, nty=_nty,
-                interpret=interpret)
+                interpret=interpret, band_nty=_band)
             return rb0[None], sf, snn
 
         ring_col = P(None, axes)

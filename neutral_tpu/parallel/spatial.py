@@ -48,7 +48,7 @@ from jax import shard_map
 from .. import driver as driver_mod
 from .. import transport
 from ..config import SimConfig
-from ..particles import ParticleState, inject_particles
+from ..particles import ParticleState
 from ..transport import EventCounts, Geometry
 from .flight_sharded import FlightDecomposedMixin
 from .common import _CTRL_MAXLIVE, _pack_ctrl, _read_ctrl
@@ -60,6 +60,73 @@ def _partition_by_slab(state: ParticleState, nshards: int, rows: int,
     """Host-side: group lanes by owner slab into (nshards*cap,) arrays."""
     owner = np.clip(np.asarray(state.celly) // rows, 0, nshards - 1)
     return _partition_by_owner(state, owner, nshards, cap)
+
+
+def _inject_partitioned(cfg, mesh2d, device_mesh: Mesh, axes, own_fn,
+                        dtype, local_coords):
+    """Device-side per-shard source injection: (cap, sharded state).
+
+    The reference injects each rank's particles independently from the
+    source-box ∩ subdomain overlap (area-fraction arithmetic,
+    neutral_data.c:64-95) — no global pass, which is what scales startup
+    to 1e9+ particles.  Its per-rank streams make results depend on the
+    decomposition, though; this framework keeps decomposition-invariant
+    GLOBAL pid streams, so the TPU-native equivalent is: every shard
+    re-derives, ON DEVICE, which global pids are born in its block
+    (birth position is a pure function of pid — particles.source_cells)
+    and keeps its own.  Replicated O(N) device compute (a few ms)
+    replaces the old global inject + host partition + per-shard
+    re-upload (measured ~56 MB at ~40 MB/s per shard on this host —
+    BASELINE.md spatial caveat).  Host traffic: ONE replicated scalar
+    (the pmax of the per-shard counts, to size the static capacity) —
+    replicated so the fetch is addressable in every process of a
+    multi-host run.
+
+    `own_fn(cellx, celly) -> bool mask` runs inside shard_map and reads
+    lax.axis_index to identify the shard.  The packed layout is
+    bitwise-identical to _partition_by_owner's (owned live lanes in pid
+    order, zeroed dead padding to cap).
+    """
+    from ..particles import inject_fields, source_cells
+
+    n = cfg.nparticles
+    src = dict(source_x0=cfg.source.xpos * cfg.width,
+               source_y0=cfg.source.ypos * cfg.height,
+               source_width=cfg.source.width * cfg.width,
+               source_height=cfg.source.height * cfg.height)
+
+    def owned():
+        pid = jnp.arange(n, dtype=jnp.uint32)
+        _, _, cellx, celly = source_cells(mesh2d, pid, **src, dtype=dtype,
+                                          rng_scheme=cfg.rng)
+        return own_fn(cellx, celly)
+
+    ax_names = device_mesh.axis_names
+
+    def count_fn():
+        c = jnp.count_nonzero(owned()).astype(jnp.int32)
+        return lax.pmax(c, ax_names if len(ax_names) > 1 else ax_names[0])
+
+    peak_arr = jax.jit(shard_map(count_fn, mesh=device_mesh, in_specs=(),
+                                 out_specs=P(), check_vma=False))()
+    peak = int(jax.device_get(peak_arr))
+    cap = max(((2 * peak + 8191) // 8192) * 8192, 8192)
+
+    def fill_fn():
+        own = owned()
+        sel = jnp.nonzero(own, size=cap, fill_value=n)[0]
+        valid = sel < n
+        pid = jnp.where(valid, sel, 0).astype(jnp.uint32)
+        return inject_fields(
+            mesh2d, pid, valid, **src,
+            initial_energy=cfg.initial_energy, dt=cfg.dt, dtype=dtype,
+            rng_scheme=cfg.rng, local_coords=local_coords,
+            zero_padding=True)
+
+    state = jax.jit(shard_map(fill_fn, mesh=device_mesh, in_specs=(),
+                              out_specs=_state_spec(axes),
+                              check_vma=False))()
+    return cap, state
 
 
 def _migrate_axis(s: ParticleState, field: str, off, axis: str,
@@ -188,26 +255,18 @@ class SpatialSimulation(FlightDecomposedMixin,
             regions=self.geom.regions, rng_scheme=cfg.rng,
             rects=self.geom.rects, same_xs=self.geom.same_xs)
 
-        state = inject_particles(
-            self.mesh, nparticles=cfg.nparticles,
-            source_x0=cfg.source.xpos * cfg.width,
-            source_y0=cfg.source.ypos * cfg.height,
-            source_width=cfg.source.width * cfg.width,
-            source_height=cfg.source.height * cfg.height,
-            initial_energy=cfg.initial_energy, dt=cfg.dt,
-            dtype=self.dtype, rng_scheme=cfg.rng,
+        rows = self.rows
+        axis = self.axis
+
+        def own_fn(cellx, celly):
+            me = lax.axis_index(axis).astype(jnp.int32)
+            return jnp.clip(celly // rows, 0, nshards - 1) == me
+
+        self.cap, self.state = _inject_partitioned(
+            cfg, self.mesh, self.device_mesh, axis, own_fn, self.dtype,
             local_coords=(None if self.use_flight else
                           driver_mod._local_coords(cfg, self.dtype)))
-
-        owner = np.clip(np.asarray(state.celly) // self.rows, 0, nshards - 1)
-        peak = int(np.bincount(owner, minlength=nshards).max())
-        self.cap = max(((2 * peak + 8191) // 8192) * 8192, 8192)
         self.cap_xfer = max(self.cap // 8, 1024)
-        packed = _partition_by_slab(state, nshards, self.rows, self.cap)
-
-        shard_sharding = NamedSharding(self.device_mesh, P(self.axis))
-        self.state = jax.tree_util.tree_map(
-            lambda a: jax.device_put(a, shard_sharding), packed)
         self.tally_parts = jax.device_put(
             jnp.zeros((nshards, self.rows * cfg.nx),
                       dtype=jnp.dtype(cfg.tally_dtype)),
@@ -669,26 +728,20 @@ class Spatial2DSimulation(SpatialSimulation):
             regions=self.geom.regions, rng_scheme=cfg.rng,
             rects=self.geom.rects, same_xs=self.geom.same_xs)
 
-        state = inject_particles(
-            self.mesh, nparticles=cfg.nparticles,
-            source_x0=cfg.source.xpos * cfg.width,
-            source_y0=cfg.source.ypos * cfg.height,
-            source_width=cfg.source.width * cfg.width,
-            source_height=cfg.source.height * cfg.height,
-            initial_energy=cfg.initial_energy, dt=cfg.dt,
-            dtype=self.dtype, rng_scheme=cfg.rng,
+        rows, cols = self.rows, self.cols
+        py, px = self.py, self.px
+
+        def own_fn(cellx, celly):
+            oy = jnp.clip(celly // rows, 0, py - 1)
+            ox = jnp.clip(cellx // cols, 0, px - 1)
+            return ((oy == lax.axis_index("py").astype(jnp.int32))
+                    & (ox == lax.axis_index("px").astype(jnp.int32)))
+
+        self.cap, self.state = _inject_partitioned(
+            cfg, self.mesh, self.device_mesh, self.axes, own_fn, self.dtype,
             local_coords=(None if self.use_flight else
                           driver_mod._local_coords(cfg, self.dtype)))
-
-        owner = self._owner_of(state)
-        peak = int(np.bincount(owner, minlength=ndev).max())
-        self.cap = max(((2 * peak + 8191) // 8192) * 8192, 8192)
         self.cap_xfer = max(self.cap // 8, 1024)
-        packed = _partition_by_owner(state, owner, ndev, self.cap)
-
-        spec = NamedSharding(self.device_mesh, P(self.axes))
-        self.state = jax.tree_util.tree_map(
-            lambda a: jax.device_put(a, spec), packed)
         self.tally_parts = jax.device_put(
             jnp.zeros((ndev, self.rows * self.cols),
                       dtype=jnp.dtype(cfg.tally_dtype)),

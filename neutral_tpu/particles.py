@@ -170,6 +170,95 @@ def _find_cell(edges, pos, ncells: int, extent: float, uniform: bool):
     return jnp.clip(cand, 0, ncells - 1)
 
 
+def source_cells(mesh: Mesh2D, pid, *, source_x0: float, source_y0: float,
+                 source_width: float, source_height: float, dtype,
+                 rng_scheme: str = "threefry"):
+    """(x, y, cellx, celly) of the injection draws for the given pids.
+
+    Pure function of pid (the RNG stream key), so ANY shard can re-derive
+    where any particle is born without communicating — the device-side
+    answer to the reference's per-rank source-window arithmetic
+    (neutral_data.c:64-95).  Position from draw (pid, 0, counter=0); cell
+    from the edge search (omp3/neutral.c:589-607 semantics).
+    """
+    dtype = jnp.dtype(dtype)
+    # Draws use master_key=0: injection happens before the first timestep.
+    # (Under pcg64si the pair at counter c maps to per-draw seeds 2c, 2c+1,
+    # so position/angle use seeds 0,1,2 — exactly the oacc/raja backends'
+    # injection counters, oacc/neutral.c:644-675.)
+    r0a, r0b = rng.uniform2_scheme(pid, jnp.uint32(0), jnp.uint32(0), dtype,
+                                   rng_scheme)
+    x = jnp.asarray(source_x0, dtype) + r0a * jnp.asarray(source_width, dtype)
+    y = jnp.asarray(source_y0, dtype) + r0b * jnp.asarray(source_height, dtype)
+
+    # Cell search over the (possibly non-uniform) edge arrays — equivalent to
+    # the reference's linear scan with [edge[i], edge[i+1]) membership.
+    # Uniform meshes take an O(1) path: floor-divide to a candidate, then
+    # one gather of the candidate's bounding edges corrects any float
+    # rounding against the STORED edge values — bitwise identical to the
+    # searchsorted result (12 gather rounds -> 2) and ~6x faster at 10M.
+    cellx = _find_cell(mesh.edgex, x, mesh.nx, mesh.width, mesh.uniform)
+    celly = _find_cell(mesh.edgey, y, mesh.ny, mesh.height, mesh.uniform)
+    return x, y, cellx, celly
+
+
+def inject_fields(mesh: Mesh2D, pid, alive, *, source_x0: float,
+                  source_y0: float, source_width: float,
+                  source_height: float, initial_energy: float, dt: float,
+                  dtype=jnp.float32, rng_scheme: str = "threefry",
+                  local_coords: tuple[float, float] | None = None,
+                  zero_padding: bool = False) -> ParticleState:
+    """Injection state for an explicit pid vector + alive mask.
+
+    The pid-keyed core shared by the global injector (inject_particles)
+    and the per-shard partitioned injector (parallel.spatial): histories
+    are keyed by pid alone, so WHICH lanes hold WHICH pids is free to vary
+    by decomposition without changing any physics.  `zero_padding` zeroes
+    every field of dead lanes (matching the packed-buffer convention of
+    the spatial drivers' partition layout).
+    """
+    dtype = jnp.dtype(dtype)
+    x, y, cellx, celly = source_cells(
+        mesh, pid, source_x0=source_x0, source_y0=source_y0,
+        source_width=source_width, source_height=source_height,
+        dtype=dtype, rng_scheme=rng_scheme)
+
+    if local_coords is not None:
+        dx, dy = local_coords
+        x = jnp.clip(x - cellx.astype(dtype) * np.dtype(dtype).type(dx),
+                     0.0, np.dtype(dtype).type(dx))
+        y = jnp.clip(y - celly.astype(dtype) * np.dtype(dtype).type(dy),
+                     0.0, np.dtype(dtype).type(dy))
+
+    r1a, _ = rng.uniform2_scheme(pid, jnp.uint32(0), jnp.uint32(1), dtype,
+                                 rng_scheme)
+    theta = jnp.asarray(2.0 * np.pi, dtype) * r1a
+    omega_x = jnp.cos(theta)
+    omega_y = jnp.sin(theta)
+
+    zeros = jnp.zeros(pid.shape, dtype)
+    if zero_padding:
+        x = jnp.where(alive, x, zeros)
+        y = jnp.where(alive, y, zeros)
+        omega_x = jnp.where(alive, omega_x, zeros)
+        omega_y = jnp.where(alive, omega_y, zeros)
+        cellx = jnp.where(alive, cellx, 0)
+        celly = jnp.where(alive, celly, 0)
+        pid = jnp.where(alive, pid, jnp.uint32(0))
+    return ParticleState(
+        x=x, y=y, omega_x=omega_x, omega_y=omega_y,
+        energy=jnp.where(alive, jnp.asarray(initial_energy, dtype), zeros),
+        weight=jnp.where(alive, jnp.ones(pid.shape, dtype), zeros),
+        dt_to_census=jnp.where(alive, jnp.asarray(dt, dtype), zeros),
+        mfp_to_collision=zeros,
+        deposit=zeros,
+        cellx=cellx, celly=celly,
+        dead=~alive,
+        pid=pid,
+        counter=jnp.zeros(pid.shape, jnp.uint32),
+    )
+
+
 @partial(jax.jit,
          static_argnames=("nparticles", "source_x0", "source_y0",
                           "source_width", "source_height", "initial_energy",
@@ -196,58 +285,15 @@ def inject_particles(mesh: Mesh2D, *, nparticles: int, source_x0: float,
     `local_coords=(dx, dy)` stores x/y as cell-local offsets (the f32
     fast-path representation — transport.use_local_coords).
     """
-    dtype = jnp.dtype(dtype)
     n = int(nparticles)
     total = int(pad_to) if pad_to is not None else n
     if total < n:
         raise ValueError("pad_to must be >= nparticles")
 
     pid = (jnp.arange(total, dtype=jnp.uint32) + np.uint32(pid_offset))
-
-    # Draws use master_key=0: injection happens before the first timestep.
-    # (Under pcg64si the pair at counter c maps to per-draw seeds 2c, 2c+1,
-    # so position/angle use seeds 0,1,2 — exactly the oacc/raja backends'
-    # injection counters, oacc/neutral.c:644-675.)
-    r0a, r0b = rng.uniform2_scheme(pid, jnp.uint32(0), jnp.uint32(0), dtype,
-                                   rng_scheme)
-    x = jnp.asarray(source_x0, dtype) + r0a * jnp.asarray(source_width, dtype)
-    y = jnp.asarray(source_y0, dtype) + r0b * jnp.asarray(source_height, dtype)
-
-    # Cell search over the (possibly non-uniform) edge arrays — equivalent to
-    # the reference's linear scan with [edge[i], edge[i+1]) membership.
-    # Uniform meshes take an O(1) path: floor-divide to a candidate, then
-    # one gather of the candidate's bounding edges corrects any float
-    # rounding against the STORED edge values — bitwise identical to the
-    # searchsorted result (12 gather rounds -> 2) and ~6x faster at 10M.
-    cellx = _find_cell(mesh.edgex, x, mesh.nx, mesh.width, mesh.uniform)
-    celly = _find_cell(mesh.edgey, y, mesh.ny, mesh.height, mesh.uniform)
-
-    if local_coords is not None:
-        dx, dy = local_coords
-        x = jnp.clip(x - cellx.astype(dtype) * np.dtype(dtype).type(dx),
-                     0.0, np.dtype(dtype).type(dx))
-        y = jnp.clip(y - celly.astype(dtype) * np.dtype(dtype).type(dy),
-                     0.0, np.dtype(dtype).type(dy))
-
-    r1a, _ = rng.uniform2_scheme(pid, jnp.uint32(0), jnp.uint32(1), dtype,
-                                 rng_scheme)
-    theta = jnp.asarray(2.0 * np.pi, dtype) * r1a
-    omega_x = jnp.cos(theta)
-    omega_y = jnp.sin(theta)
-
-    lane = jnp.arange(total)
-    alive = lane < n
-
-    zeros = jnp.zeros(total, dtype)
-    return ParticleState(
-        x=x, y=y, omega_x=omega_x, omega_y=omega_y,
-        energy=jnp.where(alive, jnp.asarray(initial_energy, dtype), zeros),
-        weight=jnp.where(alive, jnp.ones(total, dtype), zeros),
-        dt_to_census=jnp.where(alive, jnp.asarray(dt, dtype), zeros),
-        mfp_to_collision=zeros,
-        deposit=zeros,
-        cellx=cellx, celly=celly,
-        dead=~alive,
-        pid=pid,
-        counter=jnp.zeros(total, jnp.uint32),
-    )
+    alive = jnp.arange(total) < n
+    return inject_fields(
+        mesh, pid, alive, source_x0=source_x0, source_y0=source_y0,
+        source_width=source_width, source_height=source_height,
+        initial_energy=initial_energy, dt=dt, dtype=dtype,
+        rng_scheme=rng_scheme, local_coords=local_coords)

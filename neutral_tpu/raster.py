@@ -539,35 +539,111 @@ def _walk_call(buf, planes, occ, *, tile, ntx, nty, interpret):
     return out
 
 
+def band_rows(ntx: int, nty: int, tile: int = TILE,
+              budget_bytes: int = 100 * 1024 * 1024) -> int:
+    """Tile-rows per walker band under the VMEM residency budget (>=1)."""
+    per_row = ntx * tile * tile * 4
+    return max(budget_bytes // per_row, 1)
+
+
+def _clip_to_band(gx0, gy0, gx1, gy1, kk, y0f, y1f):
+    """Clip segments to the y-band [y0, y1) (cell units), band-local y.
+
+    Deposit-exact re-parameterization: the clipped sub-segment covers
+    t in [a, b] of the original, so scaling kk by (b - a) makes every
+    per-cell deposit kk' * ds == kk * dt.  Adjacent bands compute the
+    SAME boundary t from the same expression ((y_edge - gy0) / dgy), so
+    per-segment coverage telescopes exactly — no double or lost deposit
+    at seams (bands are whole tile rows, so a cell belongs to exactly
+    one band).  Near-horizontal segments (the walker's degenerate class)
+    belong wholly to the band containing gy0.
+    """
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    dgx = gx1 - gx0
+    dgy = gy1 - gy0
+    degy = jnp.abs(dgy) < jnp.float32(1.0e-6)
+    safe = jnp.where(degy, one, dgy)
+    ta = (y0f - gy0) / safe
+    tb = (y1f - gy0) / safe
+    a = jnp.clip(jnp.minimum(ta, tb), zero, one)
+    b = jnp.clip(jnp.maximum(ta, tb), zero, one)
+    in_deg = (gy0 >= y0f) & (gy0 < y1f)
+    a = jnp.where(degy, zero, a)
+    b = jnp.where(degy, jnp.where(in_deg, one, zero), b)
+    frac = jnp.maximum(b - a, zero)
+    nkk = jnp.where(frac > zero, kk * frac, zero)
+    return (gx0 + a * dgx, gy0 + a * dgy - y0f,
+            gx0 + b * dgx, gy0 + b * dgy - y0f, nkk)
+
+
+def _walk_banded(buf, fields, *, tile: int, ntx: int, nty: int,
+                 interpret: bool, band_nty: int | None = None):
+    """Walker drain of flat field vectors (gx0, gy0, gx1, gy1, kk).
+
+    With band_nty < nty the buffer is processed in horizontal bands of
+    band_nty tile-rows so each band's slice fits the kernel's VMEM
+    residency (the ~4992^2-cells-per-shard cap removed): segments are
+    clipped to each band (deposit-exact, see _clip_to_band) and bands
+    run as separate kernel calls over slices of the same buffer.  The
+    per-band chunk-occupancy list skips ring chunks with no segment
+    touching the band, so total scalar DDA work stays ~one pass over
+    the segments.
+    """
+    gx0, gy0, gx1, gy1, kk = fields
+    m = gx0.shape[0]
+    pad = (-m) % _CHUNK
+    zrow = jnp.zeros(m + pad, gx0.dtype)
+
+    def planes_of(fields):
+        padded = [jnp.concatenate([f, zrow[:pad]]) if pad else f
+                  for f in fields]
+        # 8 rows (3 zero padding rows): Mosaic HBM slices must be aligned
+        # to the (8, 128) tiling along the leading dim.
+        return jnp.stack(padded + [zrow, zrow, zrow], axis=0)
+
+    if band_nty is None or band_nty >= nty:
+        planes = planes_of([gx0, gy0, gx1, gy1, kk])
+        return _walk_call(buf, planes, _occupied_chunks(planes[4]),
+                          tile=tile, ntx=ntx, nty=nty, interpret=interpret)
+
+    for b in range(-(-nty // band_nty)):
+        t0 = b * band_nty
+        ntyb = min(band_nty, nty - t0)
+        y0 = t0 * tile
+        cf = _clip_to_band(gx0, gy0, gx1, gy1, kk,
+                           jnp.float32(y0), jnp.float32(y0 + ntyb * tile))
+        planes = planes_of(list(cf))
+        sub = lax.slice(buf, (y0, 0), (y0 + ntyb * tile, buf.shape[1]))
+        sub = _walk_call(sub, planes, _occupied_chunks(planes[4]),
+                         tile=tile, ntx=ntx, nty=ntyb, interpret=interpret)
+        buf = lax.dynamic_update_slice(buf, sub, (y0, 0))
+    return buf
+
+
 def rasterize_walk_impl(buf, segbuf, nseg, *, tile: int = TILE, ntx: int,
-                        nty: int, interpret: bool = False):
+                        nty: int, interpret: bool = False,
+                        band_nty: int | None = None):
     """Walker-kernel raster drain (unjitted; see rasterize_walk).
 
     segbuf rows [gx0, gy0, gx1, gy1, kk, ...] in cell units; rows at
     index >= nseg (or with kk == 0) are skipped.  buf must be the padded
-    (nty*tile, ntx*tile) f32 accumulation buffer — the whole buffer is
-    VMEM-resident during the call, so nty*tile*ntx*tile*4 bytes must fit
-    (~67 MB for a 4000^2 mesh on v5e's 128 MB VMEM).
+    (nty*tile, ntx*tile) f32 accumulation buffer — VMEM-resident per
+    call, either whole (~67 MB for a 4000^2 mesh on v5e's 128 MB VMEM)
+    or in band_nty-tile-row bands for bigger meshes (_walk_banded).
     """
     scap = segbuf.shape[0]
-    # (8, SCAP) planes so the SMEM chunk DMA is 128-lane aligned; zero
-    # the kk plane past nseg (the kernel's skip sentinel).  Pad to a
-    # whole number of DMA chunks.
-    planes = segbuf.T
-    planes = planes.at[4].set(
-        jnp.where(jnp.arange(scap) < nseg, planes[4], 0.0))
-    pad = (-scap) % _CHUNK
-    if pad:
-        planes = jnp.concatenate(
-            [planes, jnp.zeros((8, pad), planes.dtype)], axis=1)
-    return _walk_call(buf, planes, _occupied_chunks(planes[4]), tile=tile,
-                      ntx=ntx, nty=nty, interpret=interpret)
+    kk = jnp.where(jnp.arange(scap) < nseg, segbuf[:, 4], 0.0)
+    fields = (segbuf[:, 0], segbuf[:, 1], segbuf[:, 2], segbuf[:, 3], kk)
+    return _walk_banded(buf, fields, tile=tile, ntx=ntx, nty=nty,
+                        interpret=interpret, band_nty=band_nty)
 
 
 def rasterize_walk_rings_impl(buf, sfields, sn, *, tile: int = TILE,
                               ntx: int, nty: int,
                               interpret: bool = False,
-                              kk_authoritative: bool = False):
+                              kk_authoritative: bool = False,
+                              band_nty: int | None = None):
     """Walker raster drain straight from the per-lane segment rings.
 
     `sfields` are the 5 (S, N) ring planes [gx0, gy0, gx1, gy1, kk] and
@@ -588,49 +664,49 @@ def rasterize_walk_rings_impl(buf, sfields, sn, *, tile: int = TILE,
     else:
         valid = (jnp.arange(S, dtype=jnp.int32)[:, None] < sn[None, :])
         kk = jnp.where(valid, sfields[4], 0.0)
-    m = S * n
-    pad = (-m) % _CHUNK
-    zrow = jnp.zeros(m + pad, sfields[0].dtype)
-
-    def flat(a):
-        a = a.reshape(-1)
-        return jnp.concatenate([a, zrow[:pad]]) if pad else a
-
-    # 8 rows (3 zero padding rows): Mosaic HBM slices must be aligned to
-    # the (8, 128) tiling along the leading dim.
-    planes = jnp.stack([flat(sfields[0]), flat(sfields[1]),
-                        flat(sfields[2]), flat(sfields[3]), flat(kk),
-                        zrow, zrow, zrow], axis=0)
-    buf = _walk_call(buf, planes, _occupied_chunks(planes[4]), tile=tile,
-                     ntx=ntx, nty=nty, interpret=interpret)
+    fields = tuple(f.reshape(-1) for f in sfields[:4]) + (kk.reshape(-1),)
+    buf = _walk_banded(buf, fields, tile=tile, ntx=ntx, nty=nty,
+                       interpret=interpret, band_nty=band_nty)
     sfields = (sfields[0], sfields[1], sfields[2], sfields[3],
                jnp.zeros_like(sfields[4]))
     return buf, (sfields, jnp.zeros_like(sn))
 
 
-@partial(jax.jit, static_argnames=("tile", "ntx", "nty", "interpret"),
+@partial(jax.jit, static_argnames=("tile", "ntx", "nty", "interpret",
+                                   "band_nty"),
          donate_argnums=(0,))
 def rasterize_walk(buf, segbuf, nseg, *, tile: int = TILE, ntx: int,
-                   nty: int, interpret: bool = False):
+                   nty: int, interpret: bool = False,
+                   band_nty: int | None = None):
     """Deposit `nseg` buffered segments via the VMEM-resident walker."""
     return rasterize_walk_impl(buf, segbuf, nseg, tile=tile, ntx=ntx,
-                               nty=nty, interpret=interpret)
+                               nty=nty, interpret=interpret,
+                               band_nty=band_nty)
 
 
-@partial(jax.jit, static_argnames=("tile", "ntx", "nty", "interpret"),
+@partial(jax.jit, static_argnames=("tile", "ntx", "nty", "interpret",
+                                   "band_nty"),
          donate_argnums=(0,))
 def rasterize_walk_rings(buf, sfields, sn, *, tile: int = TILE, ntx: int,
-                         nty: int, interpret: bool = False):
+                         nty: int, interpret: bool = False,
+                         band_nty: int | None = None):
     """Jitted ring-direct walker drain; see rasterize_walk_rings_impl."""
     return rasterize_walk_rings_impl(buf, sfields, sn, tile=tile,
                                      ntx=ntx, nty=nty,
-                                     interpret=interpret)
+                                     interpret=interpret,
+                                     band_nty=band_nty)
 
 
 def walker_fits(ntx: int, nty: int, tile: int = TILE,
                 budget_bytes: int = 100 * 1024 * 1024) -> bool:
-    """Whether the padded buffer fits the walker's VMEM residency."""
-    return nty * tile * ntx * tile * 4 <= budget_bytes
+    """Whether the walker can rasterize this grid (possibly in bands).
+
+    Row-band tiling (_walk_banded) removes the old whole-buffer cap
+    (~4992^2 cells per shard): only ONE band of tile rows must fit the
+    VMEM residency budget, i.e. the constraint is mesh WIDTH
+    (ntx <= ~25k cells at the 100 MB budget), not area.
+    """
+    return ntx * tile * tile * 4 <= budget_bytes
 
 
 # ---------------------------------------------------------------------------

@@ -676,3 +676,67 @@ def test_flight_rejects_mismatched_coords(tmp_path):
     b = Simulation(cfg.with_(engine="flight"), quiet=True)
     with pytest.raises(ValueError, match="coord"):
         b.restore(path)
+
+
+def test_rasterize_walk_banded_matches_unbanded():
+    """Row-band tiled walker (band_nty < nty) == the whole-buffer walker
+    == the per-cell oracle: deposit-exact band clipping (kk scaled by
+    the covered t-fraction; seams telescope), including degenerate
+    segments and endpoints on band boundaries.  Removes the VMEM cap
+    (the old ~4992^2-cells-per-shard walker_fits gate)."""
+    rng = np.random.default_rng(21)
+    tile, ntx, nty = 8, 4, 6
+    nx, ny = tile * ntx, tile * nty
+    n = 40
+    segs = np.zeros((64, 8), np.float32)
+    segs[:n] = _random_segs(rng, n, nx, ny).astype(np.float32)
+    # degenerate + band-boundary cases
+    segs[0] = [2.0, 3.0, 29.0, 3.0, 1.0, 0, 0, 0]      # horizontal
+    segs[1] = [5.0, 0.5, 5.0, ny - 0.5, 2.0, 0, 0, 0]  # vertical, all bands
+    segs[2] = [4.0, 16.0, 4.0, 16.0, 3.0, 0, 0, 0]     # zero-length on seam
+    segs[3] = [0.0, 0.0, nx, ny, 1.5, 0, 0, 0]         # full diagonal
+    segs[4] = [1.0, 16.0, 30.0, 16.0, 1.0, 0, 0, 0]    # horizontal on seam
+
+    whole = raster.rasterize_walk(jnp.zeros((ny, nx), jnp.float32),
+                                  jnp.asarray(segs), jnp.int32(n),
+                                  tile=tile, ntx=ntx, nty=nty,
+                                  interpret=True)
+    want = raster.rasterize_ref(np.zeros((ny, nx)),
+                                segs[:n, :5].astype(np.float64))
+    for band_nty in (1, 2, 4):
+        out = raster.rasterize_walk(jnp.zeros((ny, nx), jnp.float32),
+                                    jnp.asarray(segs), jnp.int32(n),
+                                    tile=tile, ntx=ntx, nty=nty,
+                                    interpret=True, band_nty=band_nty)
+        np.testing.assert_allclose(np.asarray(out), want, rtol=2e-4,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(whole),
+                                   rtol=1e-5, atol=1e-6)
+        # conservation: banded total mass == unbanded (seam telescoping)
+        np.testing.assert_allclose(float(jnp.sum(out)),
+                                   float(jnp.sum(whole)), rtol=1e-6)
+
+
+def test_rasterize_walk_rings_banded_matches_unbanded():
+    """Ring-direct banded walker drain == unbanded (the production
+    in-loop drain path under pallas_flight_chunk with band_nty set)."""
+    rng = np.random.default_rng(23)
+    tile, ntx, nty = 8, 4, 6
+    nx, ny = tile * ntx, tile * nty
+    S, N = 3, 16
+    sf = [rng.uniform(0, nx, (S, N)).astype(np.float32) for _ in range(5)]
+    sf[1] = rng.uniform(0, ny, (S, N)).astype(np.float32)
+    sf[3] = rng.uniform(0, ny, (S, N)).astype(np.float32)
+    sf[4] = rng.uniform(0.5, 2.0, (S, N)).astype(np.float32)
+    sn = rng.integers(0, S + 1, N).astype(np.int32)
+    whole, _ = raster.rasterize_walk_rings(
+        jnp.zeros((ny, nx), jnp.float32),
+        tuple(jnp.asarray(f) for f in sf), jnp.asarray(sn),
+        tile=tile, ntx=ntx, nty=nty, interpret=True)
+    out, (sf2, sn2) = raster.rasterize_walk_rings(
+        jnp.zeros((ny, nx), jnp.float32),
+        tuple(jnp.asarray(f) for f in sf), jnp.asarray(sn),
+        tile=tile, ntx=ntx, nty=nty, interpret=True, band_nty=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(whole),
+                               rtol=1e-5, atol=1e-6)
+    assert int(jnp.max(sn2)) == 0 and float(jnp.max(jnp.abs(sf2[4]))) == 0.0

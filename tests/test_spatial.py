@@ -332,3 +332,39 @@ def test_spatial_arbitrary_deck_matches_single(decomp):
         np.asarray(single.tally, np.float64),
         np.asarray(spat.tally, np.float64).reshape(-1),
         rtol=1e-12, atol=1e-300)
+
+
+def test_inject_partitioned_matches_host_partition():
+    """Device-side per-shard injection (_inject_partitioned) produces the
+    EXACT packed buffers of the old global-inject + host-partition path:
+    same pids on the same shards in the same order, zeroed padding.
+    The reference's analog is the per-rank source-window injection
+    (neutral_data.c:64-95); ours keeps decomposition-invariant pid
+    streams on top."""
+    from neutral_tpu.particles import inject_particles
+    from neutral_tpu.parallel.spatial import _partition_by_slab
+
+    cfg = SimConfig(nx=64, ny=64, dt=1e-7, niters=1, nparticles=3000,
+                    initial_energy=1.0e4,
+                    source=SourceBox(0.1, 0.3, 0.7, 0.5),
+                    problems=(ProblemRegion(1.0e2, 0.0, 0.0, 1.0, 1.0),),
+                    dtype="float32", tally_dtype="float32")
+    sim = SpatialSimulation(cfg, quiet=True)
+
+    state = inject_particles(
+        sim.mesh, nparticles=cfg.nparticles,
+        source_x0=cfg.source.xpos * cfg.width,
+        source_y0=cfg.source.ypos * cfg.height,
+        source_width=cfg.source.width * cfg.width,
+        source_height=cfg.source.height * cfg.height,
+        initial_energy=cfg.initial_energy, dt=cfg.dt,
+        dtype=sim.dtype, rng_scheme=cfg.rng,
+        local_coords=None if sim.use_flight else
+        __import__("neutral_tpu.driver", fromlist=["_local_coords"])
+        ._local_coords(cfg, sim.dtype))
+    packed = _partition_by_slab(state, sim.nshards, sim.rows, sim.cap)
+
+    for f in state.__dataclass_fields__:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sim.state, f)),
+            np.asarray(getattr(packed, f)), err_msg=f)

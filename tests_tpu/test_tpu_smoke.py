@@ -173,3 +173,34 @@ def test_ring_engine_table_mode_vs_xla(tmp_path):
     sim = Simulation(cfg.with_(engine="pallas"), quiet=True)
     assert sim.scatter_layout is not None, "table mode not engaged"
     _compare(cfg, "pallas")
+
+
+def test_banded_walker_vs_whole_buffer():
+    """Row-band tiled walker on the real chip == whole-buffer walker
+    (the VMEM-cap remover: raster._walk_banded band clipping)."""
+    import jax.numpy as jnp
+    from neutral_tpu.raster import TILE, grid_shape, rasterize_walk
+
+    nx = ny = 512
+    nty, ntx = grid_shape(nx, ny, TILE)
+    r = np.random.default_rng(29)
+    nseg = 2048
+    segs = np.zeros((2048, 8), np.float32)
+    segs[:nseg, 0] = r.uniform(0, nx, nseg)
+    segs[:nseg, 1] = r.uniform(0, ny, nseg)
+    segs[:nseg, 2] = r.uniform(0, nx, nseg)
+    segs[:nseg, 3] = r.uniform(0, ny, nseg)
+    segs[:300, 2] = segs[:300, 0]          # vertical
+    segs[300:600, 3] = segs[300:600, 1]    # horizontal
+    segs[:nseg, 4] = r.uniform(0.1, 2.0, nseg)
+
+    buf = jnp.zeros((nty * TILE, ntx * TILE), jnp.float32)
+    whole = np.asarray(rasterize_walk(buf, jnp.asarray(segs),
+                                      jnp.int32(nseg), tile=TILE,
+                                      ntx=ntx, nty=nty))
+    buf = jnp.zeros((nty * TILE, ntx * TILE), jnp.float32)
+    banded = np.asarray(rasterize_walk(buf, jnp.asarray(segs),
+                                       jnp.int32(nseg), tile=TILE,
+                                       ntx=ntx, nty=nty, band_nty=1))
+    np.testing.assert_allclose(banded.sum(), whole.sum(), rtol=1e-6)
+    np.testing.assert_allclose(banded, whole, rtol=2e-3, atol=1e-4)
