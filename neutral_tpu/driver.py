@@ -86,6 +86,40 @@ def _ladder_target(live: int, min_cap: int) -> int:
     return (1 << k) * 8192
 
 
+def _exit_live_for(cap: int, min_cap: int) -> int:
+    """In-kernel census-cliff exit threshold for the ring engine.
+
+    Largest `exit_live` such that any live count BELOW it makes the
+    driver's compaction ladder fire (`_ladder_target(live) <= 0.75*cap`)
+    — the chunk's early exit (pallas_sweep_chunk exit_live) then always
+    leads to a real compaction, never to an immediate re-exit spin.
+    0 when no productive compaction exists at this cap.
+    """
+    bound = (cap * 3) // 4
+    if _ladder_target(0, min_cap) > bound:
+        return 0
+    lo, hi = 0, cap  # f(live) = ladder(live) <= bound, monotone in live
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if _ladder_target(mid - 1, min_cap) <= bound:
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
+def _flight_exit_live(cap: int, min_cap: int) -> int:
+    """Cliff-exit threshold for the flight engine's pow2 ladder.
+
+    The flight driver compacts when `max(min_cap, pow2(live)) <= cap//2`;
+    any live count below the largest power of two <= cap//2 guarantees
+    that, so the chunk's early exit always converts into a compaction.
+    """
+    if min_cap > cap // 2 or cap < 2:
+        return 0
+    return 1 << ((cap // 2).bit_length() - 1)
+
+
 def load_cross_sections(cfg: SimConfig, dtype) -> tuple[CrossSection,
                                                         CrossSection]:
     """Cross-section tables: user `.cs` files if present, else regenerated.
@@ -559,13 +593,18 @@ class Simulation(SimulationBase):
             # latency per chunk; give the long-tail widths 8x the sweep
             # budget per dispatch (the bound exists to keep single XLA
             # executions short, and 2048 sweeps at <=256k lanes is still
-            # far quicker than 256 sweeps at full width).  Near a census
-            # cliff (live starting to drop at full width) shorten chunks
-            # so compaction can catch the collapse — a 10M->0.2M die-off
-            # inside one 256-sweep chunk otherwise runs mostly dead lanes.
+            # far quicker than 256 sweeps at full width).  The Pallas
+            # path catches census cliffs IN-KERNEL (exit_live below);
+            # the XLA path instead shortens chunks once live starts to
+            # drop at full width so compaction can catch the collapse —
+            # a 10M->0.2M die-off inside one 256-sweep chunk otherwise
+            # runs mostly dead lanes.
+            exit_live = (_exit_live_for(part.n, min_cap)
+                         if (use_pallas and self.compact_enabled
+                             and part.n > min_cap) else 0)
             if part.n <= 262144:
                 max_sw = self.chunk_sweeps * 8
-            elif cliff:
+            elif cliff and not use_pallas:
                 max_sw = max(self.chunk_sweeps // 4, 16)
             else:
                 max_sw = self.chunk_sweeps
@@ -578,7 +617,8 @@ class Simulation(SimulationBase):
                     max_sw, k_events=self.k_events,
                     interpret=getattr(self, "pallas_interpret", False),
                     scatter_layout=self.scatter_layout,
-                    absorb_layout=self.absorb_layout)
+                    absorb_layout=self.absorb_layout,
+                    exit_live=exit_live)
             else:
                 part, self.tally, counts, done, n_work = sweep_chunk(
                     part, self.tally, counts, self.mesh, self.cs_scatter,
@@ -829,19 +869,27 @@ class Simulation(SimulationBase):
         part, sel = full, None
         min_cap = self.compact_min
 
-        def pick_kmax(width):
+        def pick_kmax(width, exit_live):
             """(k_pieces, max_calls) for a working width.
 
             Small (compacted tail) widths amortize the while-loop's
             per-call bookkeeping over more fused pieces per kernel
-            call.  Walker mode drains in-loop, so max_calls is what
-            bounds the host's compaction-check cadence at big widths.
+            call.  Walker mode drains in-loop, so the ONLY reason a
+            big-width chunk exits is to let the host check compaction
+            cadence — and each exit is a blocking ctrl fetch (a full
+            tunnel round trip; measured 4.9e8 -> 6.8e8 ev/s on split
+            going 4 -> 32 calls/chunk).  With the in-kernel cliff exit
+            (exit_live) bounding overshoot, walker chunks run long;
+            without it, a moderate 32 still wins.
             """
             big = width > 262144
             k = (getattr(self, "flight_k_pieces", None)
                  or (8 if big else 16))
-            mc = (getattr(self, "flight_max_calls", None)
-                  or ((4 if use_walker else 32) if big else 128))
+            if big:
+                default_mc = (64 if exit_live else 32) if use_walker else 32
+            else:
+                default_mc = 128
+            mc = getattr(self, "flight_max_calls", None) or default_mc
             return k, mc
 
         def seg_slots(width):
@@ -851,7 +899,7 @@ class Simulation(SimulationBase):
             # big widths, 8 at tail widths (deeper rings amortize the
             # extraction cadence; VMEM is plentiful there).
             if use_walker:
-                return pick_kmax(width)[0]
+                return pick_kmax(width, 0)[0]
             return 4 if width > 262144 else 8
 
         fc, fv, fn = make_rings(part.n, tally_dt, ring_slots=8)
@@ -877,7 +925,10 @@ class Simulation(SimulationBase):
 
         while True:
             t0 = _time.perf_counter()
-            k_pieces, max_calls = pick_kmax(part.n)
+            exit_live = (_flight_exit_live(part.n, min_cap)
+                         if self.compact_enabled and part.n > min_cap
+                         else 0)
+            k_pieces, max_calls = pick_kmax(part.n, exit_live)
             (part, self.tally, counts, fc, fv, fn, sfields, sn, segbuf,
              rb_out, ctrl) = pallas_flight_chunk(
                 part, self.tally, counts, fc, fv, fn, sfields, sn, segbuf,
@@ -888,7 +939,8 @@ class Simulation(SimulationBase):
                 use_ring_walker=use_walker, ntx=ntx, nty=nty,
                 seg_plane=use_walker,
                 scatter_layout=self.scatter_layout,
-                absorb_layout=self.absorb_layout, band_nty=band_nty)
+                absorb_layout=self.absorb_layout, band_nty=band_nty,
+                exit_live=exit_live)
             if use_walker:
                 # Ring-direct in-loop walker: segments rasterized into
                 # rbuf INSIDE the chunk program; rings are empty at every

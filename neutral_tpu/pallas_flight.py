@@ -452,7 +452,8 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
                              seg_plane: bool = False,
                              scatter_layout: TableLayout | None = None,
                              absorb_layout: TableLayout | None = None,
-                             band_nty: int | None = None):
+                             band_nty: int | None = None,
+                             exit_live: int = 0):
     """Fused flight chunk: kernel calls + in-loop ring drains.
 
     Flush rings drain straight into the tally (pallas_sweep._drain_rings).
@@ -478,6 +479,14 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
     Returns (..., rbuf_or_None, ncalls*k_pieces, n_work, nseg_pending) —
     n_work the workable-lane count (compaction live count for unwindowed
     callers).
+
+    `exit_live` > 0: in-kernel census-cliff exit — the while_loop stops
+    once the workable-lane count drops below it, so the host compacts at
+    the cliff's onset instead of paying max_calls of mostly-dead pieces
+    (and, conversely, max_calls can be set LARGE so steady-state chunks
+    stop exiting just to let the host poll the live count: each exit is
+    a blocking ctrl fetch, a full tunnel round trip).  Callers must pick
+    it low enough that their compaction ladder fires on exit.
     """
     from .pallas_sweep import _drain_rings
     from .raster import rasterize_walk_rings_impl
@@ -514,11 +523,16 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
         return rb, sf, sn
 
     def cond(carry):
-        (s, t, c, fc, fv, fn, sf, sn, sb, base, sp, rb, it, full) = carry
-        return jnp.any(working(s)) & (it < max_calls) & (~full)
+        (s, t, c, fc, fv, fn, sf, sn, sb, base, sp, rb, it, full,
+         live_c) = carry
+        ok = jnp.any(working(s)) & (it < max_calls) & (~full)
+        if exit_live:
+            ok = ok & (live_c >= exit_live)
+        return ok
 
     def body(carry):
-        (s, t, c, fc, fv, fn, sf, sn, sb, base, sp, rb, it, full) = carry
+        (s, t, c, fc, fv, fn, sf, sn, sb, base, sp, rb, it, full,
+         live_c) = carry
         band = None
         if scatter_layout is not None:
             # Live-energy row band, re-derived before every kernel call;
@@ -540,6 +554,8 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
             seg_plane=seg_plane, scatter_layout=scatter_layout,
             absorb_layout=absorb_layout, band=band)
         w = working(s)
+        if exit_live:
+            live_c = jnp.count_nonzero(w).astype(jnp.int32)
         f_full = fn >= fc.shape[0] - 1
         s_full = sn >= s_slots
         # Piece-plane rings never gate a lane (plane p is piece p's own),
@@ -591,7 +607,7 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
                                 nc_hi, nc_lo)
             c = EventCounts(fh, fl, ch, cl)
             return (s, t, c, fc, fv, fn, sf, sn, sb, base, sp, rb, it + 1,
-                    full)
+                    full, live_c)
 
         def extract(op):
             sf, sn, sb, base, sp = op
@@ -619,13 +635,14 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
                             nc_lo)
         c = EventCounts(fh, fl, ch, cl)
         return (s, t, c, fc, fv, fn, sf, sn, sb, base, sp, rb, it + 1,
-                full)
+                full, live_c)
 
     rb0 = rbuf if in_loop else jnp.zeros((), jnp.float32)
     carry = (state, tally, counts, fc, fv, fn, sfields, sn, segbuf, sbase,
-             spairs, rb0, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+             spairs, rb0, jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+             jnp.asarray(n, jnp.int32))
     (state, tally, counts, fc, fv, fn, sfields, sn, segbuf, sbase, spairs,
-     rbuf, ncalls, _) = lax.while_loop(cond, body, carry)
+     rbuf, ncalls, _, _) = lax.while_loop(cond, body, carry)
     if in_loop:
         # Final drain so rings are ALWAYS empty at chunk exit (the
         # pressure-gated in-loop cadence can leave a partial ring when
@@ -648,7 +665,8 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
 @partial(jax.jit, static_argnames=("geom", "inv_ntotal", "max_calls",
                                    "k_pieces", "tile", "pair_cap",
                                    "interpret", "use_ring_walker",
-                                   "ntx", "nty", "seg_plane", "band_nty"),
+                                   "ntx", "nty", "seg_plane", "band_nty",
+                                   "exit_live"),
          donate_argnums=(0, 1, 3, 4, 5, 6, 7, 8, 11))
 def pallas_flight_chunk(state: ParticleState, tally, counts: EventCounts,
                         fc, fv, fn, sfields, sn, segbuf, sbase, spairs,
@@ -663,7 +681,8 @@ def pallas_flight_chunk(state: ParticleState, tally, counts: EventCounts,
                         seg_plane: bool = False,
                         scatter_layout: TableLayout | None = None,
                         absorb_layout: TableLayout | None = None,
-                        band_nty: int | None = None):
+                        band_nty: int | None = None,
+                        exit_live: int = 0):
     """Jitted single-device wrapper of pallas_flight_chunk_impl.
 
     `rbuf` — the padded (nty*tile, ntx*tile) f32 raster buffer, or None
@@ -682,7 +701,8 @@ def pallas_flight_chunk(state: ParticleState, tally, counts: EventCounts,
         interpret=interpret, x_off=x_off, y_off=y_off,
         use_ring_walker=use_ring_walker, rbuf=rbuf, ntx=ntx, nty=nty,
         seg_plane=seg_plane, scatter_layout=scatter_layout,
-        absorb_layout=absorb_layout, band_nty=band_nty)
+        absorb_layout=absorb_layout, band_nty=band_nty,
+        exit_live=exit_live)
     ctrl = jnp.stack([done.astype(jnp.int32), sbase, spairs, n_work,
                       npend])
     return (state, tally, counts, fc, fv, fn, sfields, sn, segbuf, rbuf,

@@ -417,7 +417,7 @@ def compact_with_rings(full: ParticleState, part, sel, tally,
 
 
 @partial(jax.jit, static_argnames=("geom", "inv_ntotal", "max_sweeps",
-                                   "k_events", "interpret"),
+                                   "k_events", "interpret", "exit_live"),
          donate_argnums=(0, 1, 3, 4, 5))
 def pallas_sweep_chunk(state: ParticleState, tally: jnp.ndarray,
                        counts: EventCounts, ring_cell, ring_val, ring_cnt,
@@ -427,7 +427,8 @@ def pallas_sweep_chunk(state: ParticleState, tally: jnp.ndarray,
                        k_events: int = 8, interpret: bool = False,
                        y_off=None, x_off=None,
                        scatter_layout: TableLayout | None = None,
-                       absorb_layout: TableLayout | None = None):
+                       absorb_layout: TableLayout | None = None,
+                       exit_live: int = 0):
     """Bounded Pallas sweep chunk (the TPU fast path).
 
     Runs ceil(max_sweeps / k_events) fused kernel calls inside one
@@ -438,6 +439,15 @@ def pallas_sweep_chunk(state: ParticleState, tally: jnp.ndarray,
     ACROSS chunks (caller-owned; see driver) so collision-dominated steps
     see only a couple of drains total; callers must drain_rings() before
     compacting lanes, checkpointing, or reading the tally.
+
+    `exit_live` > 0 is the in-kernel census-cliff exit: the while_loop
+    stops as soon as the live-lane count drops below it, so the host can
+    compact at the cliff's ONSET instead of sweeping mostly-dead lanes to
+    the end of a fixed chunk (the reference's history loop never idles —
+    omp3/neutral.c:134 runs per particle; masked sweeps pay dead lanes).
+    Callers must pick exit_live low enough that their compaction ladder
+    is guaranteed to fire on exit, else the next chunk exits immediately
+    again (a host-round-trip spin).
     """
     n_outer = max(max_sweeps // k_events, 1)
     S = ring_cell.shape[0]
@@ -445,12 +455,15 @@ def pallas_sweep_chunk(state: ParticleState, tally: jnp.ndarray,
     pause_budget = max(n // 2048, 1)
 
     def cond(carry):
-        s, _, _, rc, rv, rn, it = carry
+        s, _, _, rc, rv, rn, it, live_c = carry
         working = working_mask(s, geom, y_off, x_off)
-        return jnp.any(working) & (it < n_outer)
+        ok = jnp.any(working) & (it < n_outer)
+        if exit_live:
+            ok = ok & (live_c >= exit_live)
+        return ok
 
     def body(carry):
-        s, t, c, rc, rv, rn, it = carry
+        s, t, c, rc, rv, rn, it, live_c = carry
         band = None
         if scatter_layout is not None:
             # Re-derive the live-energy row band before every kernel call:
@@ -487,12 +500,14 @@ def pallas_sweep_chunk(state: ParticleState, tally: jnp.ndarray,
             lambda op: op,
             (t, rc, rv, rn))
         c = c.add(nf.astype(jnp.uint32), nc.astype(jnp.uint32))
-        return (s, t, c, rc, rv, rn, it + 1)
+        if exit_live:
+            live_c = jnp.count_nonzero(working).astype(jnp.int32)
+        return (s, t, c, rc, rv, rn, it + 1, live_c)
 
     carry = (state, tally, counts, ring_cell, ring_val, ring_cnt,
-             jnp.zeros((), jnp.int32))
+             jnp.zeros((), jnp.int32), jnp.asarray(n, jnp.int32))
     (state, tally, counts, ring_cell, ring_val, ring_cnt,
-     n_done) = lax.while_loop(cond, body, carry)
+     n_done, _) = lax.while_loop(cond, body, carry)
     # Working-lane COUNT (not a bool): the caller's compaction ladder
     # needs the live count anyway, and returning it here saves a whole
     # host round trip per chunk (a separate live_count dispatch costs

@@ -210,6 +210,43 @@ def test_ladder_target_properties():
     assert _ladder_target(4_300_000, 8192) < (1 << 23)
 
 
+def test_cliff_exit_thresholds_never_spin():
+    """In-kernel census-cliff exit thresholds guarantee a compaction.
+
+    Any live count strictly below the threshold must make the matching
+    driver ladder fire — otherwise the chunk would exit, not compact,
+    re-enter, and exit again after one iteration (a host-round-trip
+    spin).  Checks both engines' ladders across cap shapes including
+    the non-ladder initial caps (padded deck sizes)."""
+    from neutral_tpu.driver import (_exit_live_for, _flight_exit_live,
+                                    _ladder_target)
+
+    caps = [16384, 262144, 393216, 1007616, 1 << 20, 3 << 19, 10002432,
+            13107200]
+    for cap in caps:
+        for min_cap in (8192, 262144):
+            if cap <= min_cap:
+                continue
+            # ring engine: driver compacts when ladder <= 0.75*cap
+            el = _exit_live_for(cap, min_cap)
+            if el > 0:
+                assert _ladder_target(el - 1, min_cap) <= (cap * 3) // 4
+                # threshold is tight: one more lane must NOT fire
+                if el < cap:
+                    assert _ladder_target(el, min_cap) > (cap * 3) // 4
+            # flight engine: compacts when max(min_cap, pow2) <= cap//2
+            fl = _flight_exit_live(cap, min_cap)
+            if fl > 0:
+                live = fl - 1
+                tgt = max(min_cap, 1 << (max(live, 1) - 1).bit_length())
+                assert tgt <= cap // 2
+    # post-compaction live can't immediately re-trigger the ring exit:
+    # live <= cap'/1.05 where cap' = ladder(live) — the fresh occupancy
+    # is always >= ~0.63 cap', and one extra ratchet step is the worst
+    # case (strictly shrinking), not a spin
+    assert _exit_live_for(8192 * 4, 8192) < 8192 * 4
+
+
 def test_ctrl_pack_read_roundtrip():
     """_pack_ctrl inside an 8-shard shard_map -> _read_ctrl recovers the
     head slots and the exact 64-bit per-shard count totals."""
