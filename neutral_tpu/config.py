@@ -51,6 +51,15 @@ class SimConfig:
 
     source: SourceBox = SourceBox(0.0, 0.0, 1.0, 1.0)
     problems: tuple[ProblemRegion, ...] = ()
+    # Arbitrary per-cell material field: path to a (ny, nx) grid (.npy or
+    # whitespace text) that REPLACES the problem-region rectangles.  The
+    # reference can only express rectangles (arch's initialise_shared_data_2d
+    # builds density from problem_N boxes — SURVEY §2.9); a grid deck is a
+    # capability beyond it.  Grid decks run the gather-based density path
+    # (transport._density_of) on XLA and the carried-density path on the
+    # Mosaic ring engine (pallas_sweep grid mode); the free-flight engine
+    # needs constant-density rectangles and is unavailable.
+    density_file: str = ""
 
     # Numerics
     dtype: str = "float32"          # particle/compute dtype
@@ -74,6 +83,16 @@ class SimConfig:
 
     def with_(self, **kw) -> "SimConfig":
         return replace(self, **kw)
+
+    @property
+    def uses_density_grid(self) -> bool:
+        """Material density comes from a (ny, nx) grid, not analytic regions.
+
+        True for grid decks (density_file) and for the fast_math=False
+        verification mode; both make the transport gather per-cell density
+        instead of evaluating the region rectangles in closed form.
+        """
+        return bool(self.density_file) or not self.fast_math
 
 
 def load_config(problem_path: str) -> SimConfig:
@@ -111,7 +130,13 @@ def load_config(problem_path: str) -> SimConfig:
 
     expected = _find_expected_tally(problem_path)
 
+    density_file = pf.get_string("density_file", "")
+    if density_file and not os.path.isabs(density_file):
+        density_file = os.path.join(
+            os.path.dirname(os.path.abspath(problem_path)), density_file)
+
     return SimConfig(
+        density_file=density_file,
         nx=pf.get_int("nx"),
         ny=pf.get_int("ny"),
         width=harness("width", 1.0),

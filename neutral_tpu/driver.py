@@ -163,9 +163,20 @@ def make_geometry(cfg: SimConfig) -> Geometry:
     With cfg.fast_math the static fields carry the uniform cell pitch and
     the problem-region cell rectangles so the jitted transport uses the
     gather-free analytic paths (see transport.Geometry docs).
+
+    Grid decks (cfg.density_file) carry the uniform pitch but NO regions:
+    density comes from the (ny, nx) grid — gathered in XLA-land
+    (transport._density_of), carried per-lane on the Mosaic ring engine
+    (pallas_sweep grid mode).  The free-flight engine needs constant-
+    density rectangles (rects=None disables it).
     """
     from .flight import disjoint_rects
     from .mesh import region_cell_bounds
+    if cfg.density_file:
+        return Geometry(global_nx=cfg.nx, global_ny=cfg.ny,
+                        nx=cfg.nx, ny=cfg.ny,
+                        dx=cfg.width / cfg.nx, dy=cfg.height / cfg.ny,
+                        rng_scheme=cfg.rng)
     if cfg.fast_math:
         regions = region_cell_bounds(cfg)
         return Geometry(global_nx=cfg.nx, global_ny=cfg.ny,
@@ -240,7 +251,11 @@ class SimulationBase:
             # per-cell tally scatter; dense decks (scatter) stay on the
             # collision-tuned Mosaic ring engine.
             on_tpu = jax.default_backend() == "tpu"
-            self.use_pallas = bool(cfg.fast_math and is_f32 and on_tpu)
+            # Grid decks (density_file) run the ring engine's carried-
+            # density mode; only the fast_math=False verification mode
+            # stays on the XLA sweep by design.
+            self.use_pallas = bool((cfg.fast_math or cfg.density_file)
+                                   and is_f32 and on_tpu)
             # Decks with near-vacuum regions are facet-dominated there:
             # free flight through a vacuum rect replaces thousands of
             # per-cell facet events with one closed-form piece, and the
@@ -250,7 +265,7 @@ class SimulationBase:
             # v5e).  Uniformly dense decks (scatter) have sub-cell
             # flights everywhere — they stay on the leaner ring engine.
             if (on_tpu and cfg.fast_math and is_f32 and self.supports_flight
-                    and cfg.problems
+                    and not cfg.density_file and cfg.problems
                     and any(r.density < 1.0 for r in cfg.problems)):
                 self.use_flight = True
                 self.use_pallas = False
@@ -260,9 +275,10 @@ class SimulationBase:
             if self.use_pallas and not is_f32:
                 raise ValueError("engine='pallas' requires dtype float32 "
                                  f"(got {self.dtype})")
-            if self.use_flight and not cfg.fast_math:
+            if self.use_flight and (not cfg.fast_math or cfg.density_file):
                 raise ValueError("engine='flight' requires fast_math "
-                                 "(analytic region geometry)")
+                                 "(closed-form flight needs constant-"
+                                 "density region rectangles)")
             if (self.use_flight and not is_f32
                     and jax.default_backend() == "tpu"):
                 # Mirror the pallas check: the fused Mosaic flight kernel
@@ -278,7 +294,7 @@ class SimulationBase:
         enable_compilation_cache()
 
         self.mesh: Mesh2D = build_mesh(cfg, dtype=self.dtype,
-                                       with_density=not cfg.fast_math)
+                                       with_density=cfg.uses_density_grid)
         self.geom = make_geometry(cfg)
         self.cs_scatter, self.cs_absorb = load_cross_sections(
             cfg, dtype=self.dtype)
@@ -618,7 +634,9 @@ class Simulation(SimulationBase):
                     interpret=getattr(self, "pallas_interpret", False),
                     scatter_layout=self.scatter_layout,
                     absorb_layout=self.absorb_layout,
-                    exit_live=exit_live)
+                    exit_live=exit_live,
+                    density_grid=(self.mesh.density
+                                  if self.geom.regions is None else None))
             else:
                 part, self.tally, counts, done, n_work = sweep_chunk(
                     part, self.tally, counts, self.mesh, self.cs_scatter,

@@ -53,7 +53,26 @@ class Mesh2D:
 
 
 def build_density(cfg: SimConfig, dtype=np.float64) -> np.ndarray:
-    """Density field from problem regions (host-side numpy)."""
+    """Density field from problem regions (host-side numpy).
+
+    Grid decks (cfg.density_file — a capability beyond the reference,
+    whose arch harness can only build density from problem_N rectangles)
+    load the (ny, nx) field verbatim instead.
+    """
+    if cfg.density_file:
+        if cfg.density_file.endswith(".npy"):
+            density = np.load(cfg.density_file)
+        else:
+            density = np.loadtxt(cfg.density_file, dtype=np.float64)
+        density = np.asarray(density, np.float64)
+        if density.shape != (cfg.ny, cfg.nx):
+            raise ValueError(
+                f"{cfg.density_file}: density grid shape {density.shape} "
+                f"!= mesh (ny, nx) = ({cfg.ny}, {cfg.nx})")
+        if np.any(density < 0) or not np.all(np.isfinite(density)):
+            raise ValueError(f"{cfg.density_file}: densities must be "
+                             "finite and non-negative")
+        return density.astype(dtype)
     density = np.zeros((cfg.ny, cfg.nx), dtype=np.float64)
     # Cell centers in physical coordinates.
     cx = (np.arange(cfg.nx) + 0.5) * (cfg.width / cfg.nx)

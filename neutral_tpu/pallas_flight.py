@@ -481,12 +481,16 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
     callers).
 
     `exit_live` > 0: in-kernel census-cliff exit — the while_loop stops
-    once the workable-lane count drops below it, so the host compacts at
-    the cliff's onset instead of paying max_calls of mostly-dead pieces
-    (and, conversely, max_calls can be set LARGE so steady-state chunks
-    stop exiting just to let the host poll the live count: each exit is
-    a blocking ctrl fetch, a full tunnel round trip).  Callers must pick
-    it low enough that their compaction ladder fires on exit.
+    once the workable-lane count BOTH drops below exit_live AND halves
+    against the chunk-entry count, so the host compacts at a cliff's
+    onset instead of paying max_calls of mostly-dead pieces (and,
+    conversely, max_calls can be set LARGE so steady-state chunks stop
+    exiting just to let the host poll the live count: each exit is a
+    blocking ctrl fetch, a full tunnel round trip).  The halving guard
+    keeps gradual decay on the full-chunk cadence — without it every
+    ~1.33x ladder level exits and compacts (see pallas_sweep_chunk's
+    docstring for the measured cost).  Callers must pick exit_live low
+    enough that their compaction ladder fires on exit.
     """
     from .pallas_sweep import _drain_rings
     from .raster import rasterize_walk_rings_impl
@@ -522,12 +526,15 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
             kk_authoritative=seg_plane, band_nty=band_nty)
         return rb, sf, sn
 
+    live0 = (jnp.count_nonzero(working(state)).astype(jnp.int32)
+             if exit_live else jnp.asarray(n, jnp.int32))
+
     def cond(carry):
         (s, t, c, fc, fv, fn, sf, sn, sb, base, sp, rb, it, full,
          live_c) = carry
         ok = jnp.any(working(s)) & (it < max_calls) & (~full)
         if exit_live:
-            ok = ok & (live_c >= exit_live)
+            ok = ok & ((live_c >= exit_live) | (2 * live_c >= live0))
         return ok
 
     def body(carry):
@@ -640,7 +647,7 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
     rb0 = rbuf if in_loop else jnp.zeros((), jnp.float32)
     carry = (state, tally, counts, fc, fv, fn, sfields, sn, segbuf, sbase,
              spairs, rb0, jnp.zeros((), jnp.int32), jnp.zeros((), bool),
-             jnp.asarray(n, jnp.int32))
+             live0)
     (state, tally, counts, fc, fv, fn, sfields, sn, segbuf, sbase, spairs,
      rbuf, ncalls, _, _) = lax.while_loop(cond, body, carry)
     if in_loop:

@@ -59,7 +59,8 @@ _NF = len(_FIELDS)
 def _kernel(geom: Geometry, scatter_tab: CrossSection,
             absorb_tab: CrossSection, inv_ntotal: float, k_events: int,
             ring_slots: int, tally_dtype, has_slab: bool, has_col: bool,
-            table_mode: bool, mk_ref, xoff_ref, yoff_ref, *refs):
+            table_mode: bool, grid_mode: bool, mk_ref, xoff_ref, yoff_ref,
+            *refs):
     if table_mode:
         # Arbitrary-table decks: band scalars + VMEM-resident table tiles
         # replace the closed-form evaluation (pallas_table.py).
@@ -74,8 +75,15 @@ def _kernel(geom: Geometry, scatter_tab: CrossSection,
                                        band_ref[2], band_ref[3]))
     in_refs = refs[:_NF]
     rc_in, rv_in, rn_in = refs[_NF:_NF + 3]
-    out_refs = refs[_NF + 3:2 * _NF + 3]
-    rc_out, rv_out, rn_out, nf_ref, nc_ref = refs[2 * _NF + 3:]
+    base = _NF + 3
+    dens_ref = None
+    if grid_mode:
+        # Grid decks: each lane's CURRENT cell density, gathered by the
+        # caller between kernel calls (read-only — no output alias).
+        dens_ref = refs[base]
+        base += 1
+    out_refs = refs[base:base + _NF]
+    rc_out, rv_out, rn_out, nf_ref, nc_ref = refs[base + _NF:]
 
     vals = {f: r[:] for f, r in zip(_FIELDS, in_refs)}
     vals["dead"] = vals["dead"] != 0
@@ -109,15 +117,32 @@ def _kernel(geom: Geometry, scatter_tab: CrossSection,
 
         nf = jnp.zeros(state.x.shape, jnp.int32)
         nc = jnp.zeros(state.x.shape, jnp.int32)
+        if grid_mode:
+            # Carried-density grid mode: the caller gathered each lane's
+            # cell density before this call.  A facet crossing COMMITS
+            # (its whole event uses the pre-move cell's material, exactly
+            # like the reference — omp3/neutral.c:303-380 refreshes the
+            # macroscopic cs only after the move) but marks the lane
+            # stale: its new cell's density is unknown in-kernel, so it
+            # freezes bitwise until the caller's next refresh gather.
+            dens = dens_ref[:]
+            stale = jnp.zeros(state.x.shape, bool)
         for _ in range(k_events):
             # Lanes whose ring could not take one more flush pause until
             # the caller drains (their whole event is deferred —
             # bitwise-safe).
             gate = slot < ring_slots
+            if grid_mode:
+                gate = gate & (~stale)
+                prev_cx, prev_cy = state.cellx, state.celly
             state, flush, flat_cell, contrib, is_facet, is_coll = \
                 sweep_core(state, None, geom, scatter_tab, absorb_tab,
                            mk, inv_ntotal, tally_dtype, y_off_dyn=y_off,
-                           gate=gate, x_off_dyn=x_off)
+                           gate=gate, x_off_dyn=x_off,
+                           density=dens if grid_mode else None)
+            if grid_mode:
+                stale = stale | (state.cellx != prev_cx) | \
+                    (state.celly != prev_cy)
             # Zero-valued flushes (vacuum regions: K = 0 so the deposit
             # is exactly +0.0) never reach the ring: they would fill it
             # and force full S x N drain scatters for tally no-ops.
@@ -162,7 +187,8 @@ def pallas_multi_sweep(state: ParticleState, ring_cell, ring_val, ring_cnt,
                        ring_slots: int = 16, interpret: bool = False,
                        y_off=None, x_off=None,
                        scatter_layout: TableLayout | None = None,
-                       absorb_layout: TableLayout | None = None, band=None):
+                       absorb_layout: TableLayout | None = None, band=None,
+                       density=None):
     """Advance every lane through k_events events in one fused kernel.
 
     The caller owns the pending-flush ring (ring_cell/ring_val: (S, N),
@@ -174,10 +200,20 @@ def pallas_multi_sweep(state: ParticleState, ring_cell, ring_val, ring_cnt,
     geom.same_xs) and `band` — the (4,) int32 [srlo, srhi, arlo, arhi]
     live-energy row band from pallas_table.energy_band — instead of
     analytic tables.
+
+    Grid decks (geom.regions is None) pass `density` — each lane's current
+    cell density, gathered by the caller (pallas_sweep_chunk refreshes it
+    between kernel calls).  In-kernel, a facet crossing marks its lane
+    stale and freezes it until the next refresh (see _kernel grid_mode).
     """
     table_mode = scatter_layout is not None
-    if geom.regions is None or not geom.dx:
-        raise ValueError("pallas sweep requires fast_math geometry")
+    grid_mode = density is not None
+    if not geom.dx:
+        raise ValueError("pallas sweep requires a uniform-pitch mesh "
+                         "(geom.dx/dy)")
+    if geom.regions is None and not grid_mode:
+        raise ValueError("pallas sweep needs analytic regions or a "
+                         "carried density (grid mode)")
     if not table_mode and not (scatter_tab.analytic and absorb_tab.analytic):
         raise ValueError("pallas sweep requires analytic cross-sections "
                          "or a TableLayout (pallas_table.build_layout)")
@@ -200,6 +236,8 @@ def pallas_multi_sweep(state: ParticleState, ring_cell, ring_val, ring_cnt,
     ins += [ring_cell.reshape(ring_slots, n // _LANES, _LANES),
             ring_val.reshape(ring_slots, n // _LANES, _LANES),
             shape2(ring_cnt)]
+    if grid_mode:
+        ins.append(shape2(density.astype(state.dtype)))
 
     state_spec = pl.BlockSpec((rows, _LANES), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
@@ -255,10 +293,11 @@ def pallas_multi_sweep(state: ParticleState, ring_cell, ring_val, ring_cnt,
     out = pl.pallas_call(
         partial(_kernel, geom, scatter_tab, absorb_tab, inv_ntotal,
                 k_events, ring_slots, tally_dtype, has_slab, has_col,
-                table_mode),
+                table_mode, grid_mode),
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 + extra_specs
-        + [state_spec] * _NF + [ring_spec, ring_spec, state_spec],
+        + [state_spec] * _NF + [ring_spec, ring_spec, state_spec]
+        + ([state_spec] if grid_mode else []),
         out_specs=tuple([state_spec] * _NF)
         + (ring_spec, ring_spec, state_spec, state_spec, state_spec),
         out_shape=out_shape,
@@ -428,7 +467,7 @@ def pallas_sweep_chunk(state: ParticleState, tally: jnp.ndarray,
                        y_off=None, x_off=None,
                        scatter_layout: TableLayout | None = None,
                        absorb_layout: TableLayout | None = None,
-                       exit_live: int = 0):
+                       exit_live: int = 0, density_grid=None):
     """Bounded Pallas sweep chunk (the TPU fast path).
 
     Runs ceil(max_sweeps / k_events) fused kernel calls inside one
@@ -441,25 +480,47 @@ def pallas_sweep_chunk(state: ParticleState, tally: jnp.ndarray,
     compacting lanes, checkpointing, or reading the tally.
 
     `exit_live` > 0 is the in-kernel census-cliff exit: the while_loop
-    stops as soon as the live-lane count drops below it, so the host can
-    compact at the cliff's ONSET instead of sweeping mostly-dead lanes to
-    the end of a fixed chunk (the reference's history loop never idles —
-    omp3/neutral.c:134 runs per particle; masked sweeps pay dead lanes).
-    Callers must pick exit_live low enough that their compaction ladder
-    is guaranteed to fire on exit, else the next chunk exits immediately
-    again (a host-round-trip spin).
+    stops once the live-lane count BOTH drops below exit_live AND halves
+    against the chunk-entry count, so the host can compact at a cliff's
+    ONSET instead of sweeping mostly-dead lanes to the end of a fixed
+    chunk (the reference's history loop never idles — omp3/neutral.c:134
+    runs per particle; masked sweeps pay dead lanes).  The halving guard
+    matters: exit_live alone sits at ~0.6x cap (the ladder's 1.5*2^k
+    half-steps), which on gradual decay made every ~1.33x level exit the
+    chunk and compact — measured 2.17e9 -> 0.81e9 ev/s on scatter (~25
+    drain+merge+reselect rounds per solve).  With the guard, gradual
+    decay runs full chunks (the pre-exit_live cadence) and only a real
+    >= 2x in-chunk collapse exits early.  Callers must pick exit_live
+    low enough that their compaction ladder is guaranteed to fire on
+    exit, else the next chunk exits immediately again (a host-round-trip
+    spin; the halving guard alone also prevents it — a fresh chunk
+    starts at live0 = live).
+
+    `density_grid` (grid decks: the shard-local (ny, nx) material field,
+    or its flat view) engages the kernel's carried-density grid mode: the
+    body gathers each lane's cell density before every kernel call (an
+    XLA gather — measured ~1e10 gathers/s on v5e, ~0.1 ms per 1M lanes)
+    and the kernel freezes lanes at their first facet crossing per call
+    (new-cell density unknown in VMEM), so collision runs fuse fully and
+    facet-heavy lanes advance one cell per call.  Reference capability
+    being matched: per-cell density from arch's shared_data
+    (omp3/neutral.c:106-111 density indexing).
     """
     n_outer = max(max_sweeps // k_events, 1)
     S = ring_cell.shape[0]
     n = state.x.shape[0]
     pause_budget = max(n // 2048, 1)
 
+    live0 = (jnp.count_nonzero(
+        working_mask(state, geom, y_off, x_off)).astype(jnp.int32)
+        if exit_live else jnp.asarray(n, jnp.int32))
+
     def cond(carry):
         s, _, _, rc, rv, rn, it, live_c = carry
         working = working_mask(s, geom, y_off, x_off)
         ok = jnp.any(working) & (it < n_outer)
         if exit_live:
-            ok = ok & (live_c >= exit_live)
+            ok = ok & ((live_c >= exit_live) | (2 * live_c >= live0))
         return ok
 
     def body(carry):
@@ -478,12 +539,20 @@ def pallas_sweep_chunk(state: ParticleState, tally: jnp.ndarray,
                 arlo, arhi = energy_band(s.energy, w, absorb_layout.keys,
                                          k_events)
                 band = jnp.stack([srlo, srhi, arlo, arhi])
+        dens = None
+        if density_grid is not None:
+            # Refresh every lane's cell density (lanes the previous call
+            # froze as stale resume with their new cell's material).
+            lx = s.cellx - (geom.x_off if x_off is None else x_off)
+            ly = s.celly - (geom.y_off if y_off is None else y_off)
+            flat = jnp.clip(ly * geom.nx + lx, 0, geom.nx * geom.ny - 1)
+            dens = density_grid.reshape(-1)[flat]
         s, rc, rv, rn, nf, nc = pallas_multi_sweep(
             s, rc, rv, rn, scatter_tab, absorb_tab, geom, master_key,
             inv_ntotal, t, k_events=k_events, ring_slots=S,
             interpret=interpret, y_off=y_off, x_off=x_off,
             scatter_layout=scatter_layout, absorb_layout=absorb_layout,
-            band=band)
+            band=band, density=dens)
         working = working_mask(s, geom, y_off, x_off)
         paused = working & (rn >= S)
         npaused = jnp.count_nonzero(paused)
@@ -505,7 +574,7 @@ def pallas_sweep_chunk(state: ParticleState, tally: jnp.ndarray,
         return (s, t, c, rc, rv, rn, it + 1, live_c)
 
     carry = (state, tally, counts, ring_cell, ring_val, ring_cnt,
-             jnp.zeros((), jnp.int32), jnp.asarray(n, jnp.int32))
+             jnp.zeros((), jnp.int32), live0)
     (state, tally, counts, ring_cell, ring_val, ring_cnt,
      n_done, _) = lax.while_loop(cond, body, carry)
     # Working-lane COUNT (not a bool): the caller's compaction ladder

@@ -168,7 +168,7 @@ def pallas_sweep_chunk_sharded(state: ParticleState, tally_parts,
                                master_key, inv_ntotal: float,
                                mesh_axes: Mesh, max_sweeps: int,
                                k_events: int = 8, scatter_layout=None,
-                               absorb_layout=None):
+                               absorb_layout=None, density_grid=None):
     """Fused-Pallas sweep chunk over the device mesh (TPU multi-chip path).
 
     Each shard runs the same pallas_sweep_chunk as the single-chip driver
@@ -192,7 +192,7 @@ def pallas_sweep_chunk_sharded(state: ParticleState, tally_parts,
             s, t_row[0], EventCounts.zeros(), rc, rv, rn, scatter_tab,
             absorb_tab, geom, master_key, inv_ntotal, max_sweeps,
             k_events=k_events, scatter_layout=scatter_layout,
-            absorb_layout=absorb_layout)
+            absorb_layout=absorb_layout, density_grid=density_grid)
         ctrl = _pack_ctrl(axis, c, done=jax.lax.pmax(done, axis),
                           work=None, err=None, maxlive=live)
         return s, t[None, :], rc, rv, rn, ctrl
@@ -469,7 +469,9 @@ class ShardedSimulation(FlightDecomposedMixin,
                     inv_ntotal, self.device_mesh, max_sw,
                     k_events=self.k_events,
                     scatter_layout=self.scatter_layout,
-                    absorb_layout=self.absorb_layout)
+                    absorb_layout=self.absorb_layout,
+                    density_grid=(self.mesh2d.density
+                                  if self.geom.regions is None else None))
             else:
                 (part, self.tally_parts,
                  ctrl_dev) = sweep_chunk_sharded(

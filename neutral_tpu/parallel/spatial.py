@@ -283,7 +283,7 @@ class SpatialSimulation(FlightDecomposedMixin,
         density halo, main.c:70-71).  fast_math decks evaluate density
         analytically and carry a 1-element placeholder.
         """
-        if self.cfg.fast_math:
+        if not self.cfg.uses_density_grid:
             slabs = np.zeros((self.nshards, 1), np.dtype(self.dtype))
         else:
             slabs = self._density_slabs(np.asarray(self.mesh.density))
@@ -297,7 +297,7 @@ class SpatialSimulation(FlightDecomposedMixin,
     def _local_mesh(self, d_row):
         """Shard-local Mesh2D: replicated edges + this shard's density."""
         from ..mesh import Mesh2D
-        if self.cfg.fast_math:
+        if not self.cfg.uses_density_grid:
             return self.mesh
         dens = d_row[0].reshape(self.geom.ny, self.geom.nx)
         return Mesh2D(nx=self.geom.nx, ny=self.geom.ny,
@@ -351,7 +351,9 @@ class SpatialSimulation(FlightDecomposedMixin,
                     k_events=self.k_events, y_off=y_off,
                     interpret=getattr(self, "pallas_interpret", False),
                     scatter_layout=self.scatter_layout,
-                    absorb_layout=self.absorb_layout)
+                    absorb_layout=self.absorb_layout,
+                    density_grid=(d_row[0] if self.geom.regions is None
+                                  else None))
                 rg = (rc, rv, rn)
             else:
                 s, t, c, nsweeps, _ = transport.sweep_chunk(
@@ -831,7 +833,9 @@ class Spatial2DSimulation(SpatialSimulation):
                     k_events=self.k_events, y_off=y_off, x_off=x_off,
                     interpret=getattr(self, "pallas_interpret", False),
                     scatter_layout=self.scatter_layout,
-                    absorb_layout=self.absorb_layout)
+                    absorb_layout=self.absorb_layout,
+                    density_grid=(d_row[0] if self.geom.regions is None
+                                  else None))
                 rg = (rc, rv, rn)
             else:
                 s, t, c, nsweeps, _ = transport.sweep_chunk(

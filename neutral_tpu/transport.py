@@ -359,7 +359,7 @@ def collision_physics(state: ParticleState, geom: Geometry,
 def sweep_core(state: ParticleState, mesh, geom: Geometry,
                scatter_tab: CrossSection, absorb_tab: CrossSection,
                master_key, inv_ntotal: float, tally_dtype,
-               y_off_dyn=None, gate=None, x_off_dyn=None):
+               y_off_dyn=None, gate=None, x_off_dyn=None, density=None):
     """One event per live lane — pure math, no tally scatter.
 
     Shape-agnostic over the lane arrays (works on (N,) in XLA-land and on
@@ -367,6 +367,9 @@ def sweep_core(state: ParticleState, mesh, geom: Geometry,
     `gate` (optional bool mask) pauses lanes externally — e.g. lanes whose
     pending-flush ring is full; paused lanes are bitwise-frozen, exactly
     like out-of-slab lanes in spatial mode.
+    `density` (optional per-lane array) overrides the material lookup —
+    the Mosaic grid mode carries each lane's cell density into the kernel
+    instead of gathering from the (ny, nx) grid (pallas_sweep grid mode).
     Returns (state', flush_mask, flat_cell, tally_contrib, is_facet,
     is_coll); the caller owns the tally update and count reductions.
     """
@@ -388,7 +391,8 @@ def sweep_core(state: ParticleState, mesh, geom: Geometry,
         ly = state.celly - y_off_dyn
         live = live & (ly >= 0) & (ly < geom.ny)
     flat_cell = jnp.clip(ly * geom.nx + lx, 0, geom.nx * geom.ny - 1)
-    density = _density_of(state, mesh, geom, lx=lx, ly=ly)
+    if density is None:
+        density = _density_of(state, mesh, geom, lx=lx, ly=ly)
     sig_s = scatter_tab.lookup(state.energy)
     sig_a = sig_s if geom.same_xs else absorb_tab.lookup(state.energy)
     sig_t = sig_s + sig_a
