@@ -1,7 +1,10 @@
-"""A/B the ring engine's in-kernel cliff exit (exit_live) on the real chip.
+"""A/B the in-kernel cliff exit (exit_live/exit_collapse) on the real chip.
 
 Usage: python bench/exitlive_ab.py <deck> [mode ...]
-modes: on (driver default), off (threshold 0 -> chunk runs to max_sweeps)
+modes:
+  off     exit_live=0 -> chunks always run to max_sweeps/max_calls
+  halve   exit_collapse=2 (the round-4 shipped guard; regressed scatter)
+  quarter exit_collapse=4 (driver default since round 5)
 """
 import os
 import sys
@@ -20,9 +23,18 @@ def run(deck: str, modes):
 
     cfg = load_config(os.path.join(here, "problems", f"{deck}.params"))
     real_fn = drv._exit_live_for
+    real_ffn = drv._flight_exit_live
+    real_collapse = drv._EXIT_COLLAPSE
 
     for mode in modes:
-        drv._exit_live_for = real_fn if mode == "on" else (lambda c, m: 0)
+        if mode == "off":
+            drv._exit_live_for = lambda c, m: 0
+            drv._flight_exit_live = lambda c, m: 0
+            drv._EXIT_COLLAPSE = real_collapse
+        else:
+            drv._exit_live_for = real_fn
+            drv._flight_exit_live = real_ffn
+            drv._EXIT_COLLAPSE = {"halve": 2, "quarter": 4}[mode]
         for measured in (False, True):
             sim = drv.Simulation(cfg, quiet=True)
             leaf = jax.tree_util.tree_leaves(sim.state)[0]
@@ -34,10 +46,12 @@ def run(deck: str, modes):
                 events += m.nfacets + m.ncollisions
             dt = time.perf_counter() - t0
             if measured:
-                print(f"exit_live={mode}: {events} events in {dt:.3f}s "
+                print(f"exit={mode}: {events} events in {dt:.3f}s "
                       f"= {events / dt:.3e} ev/s", flush=True)
     drv._exit_live_for = real_fn
+    drv._flight_exit_live = real_ffn
+    drv._EXIT_COLLAPSE = real_collapse
 
 
 if __name__ == "__main__":
-    run(sys.argv[1], sys.argv[2:] or ["off", "on"])
+    run(sys.argv[1], sys.argv[2:] or ["off", "quarter", "halve"])

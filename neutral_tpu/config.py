@@ -61,6 +61,23 @@ class SimConfig:
     # needs constant-density rectangles and is unavailable.
     density_file: str = ""
 
+    # Non-uniform mesh (a first-class reference capability: every backend
+    # signature carries per-cell edge arrays — neutral_interface.h:14-16,
+    # omp3/neutral.c:423-471 edgex[cellx] facet distances, and injection's
+    # explicitly non-uniform-safe edge scan omp3/neutral.c:589-607).
+    # Two deck grammars:
+    #   * edgex_file / edgey_file — path to nx+1 / ny+1 ascending edge
+    #     coordinates (.npy or whitespace text) spanning [0, width/height];
+    #   * mesh_stretch_x / mesh_stretch_y — geometric cell-width ratio r
+    #     (cell i+1 is r x cell i, total extent preserved).
+    # Non-uniform decks run the XLA sweep engine (edge-array gathers,
+    # global f64-quality coordinates); the Mosaic kernels require uniform
+    # pitch and reject such decks loudly (driver engine routing).
+    edgex_file: str = ""
+    edgey_file: str = ""
+    mesh_stretch_x: float = 1.0
+    mesh_stretch_y: float = 1.0
+
     # Numerics
     dtype: str = "float32"          # particle/compute dtype
     tally_dtype: str = "float32"    # energy-deposition tally dtype
@@ -93,6 +110,13 @@ class SimConfig:
         instead of evaluating the region rectangles in closed form.
         """
         return bool(self.density_file) or not self.fast_math
+
+    @property
+    def uniform_mesh(self) -> bool:
+        """True when cell edges are uniformly spaced (edge[i] = i*pitch)."""
+        return (not self.edgex_file and not self.edgey_file
+                and self.mesh_stretch_x == 1.0
+                and self.mesh_stretch_y == 1.0)
 
 
 def load_config(problem_path: str) -> SimConfig:
@@ -130,13 +154,19 @@ def load_config(problem_path: str) -> SimConfig:
 
     expected = _find_expected_tally(problem_path)
 
-    density_file = pf.get_string("density_file", "")
-    if density_file and not os.path.isabs(density_file):
-        density_file = os.path.join(
-            os.path.dirname(os.path.abspath(problem_path)), density_file)
+    def deck_path(key: str) -> str:
+        p = pf.get_string(key, "")
+        if p and not os.path.isabs(p):
+            p = os.path.join(
+                os.path.dirname(os.path.abspath(problem_path)), p)
+        return p
 
     return SimConfig(
-        density_file=density_file,
+        density_file=deck_path("density_file"),
+        edgex_file=deck_path("edgex_file"),
+        edgey_file=deck_path("edgey_file"),
+        mesh_stretch_x=pf.get_double("mesh_stretch_x", 1.0),
+        mesh_stretch_y=pf.get_double("mesh_stretch_y", 1.0),
         nx=pf.get_int("nx"),
         ny=pf.get_int("ny"),
         width=harness("width", 1.0),

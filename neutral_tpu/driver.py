@@ -86,6 +86,15 @@ def _ladder_target(live: int, min_cap: int) -> int:
     return (1 << k) * 8192
 
 
+# In-chunk live-collapse factor required before an early cliff exit
+# fires (pallas_sweep_chunk / pallas_flight_chunk `exit_collapse`).
+# 4 = exit only on a >= 4x in-chunk collapse: bounds compactions to
+# ~log4(cap/min) per step and keeps scatter's gradual census tail on the
+# full-chunk cadence (a halving guard thrashed there: 2.15e9 -> 0.94e9
+# ev/s, the round-4 regression).  bench/exitlive_ab.py A/Bs this knob.
+_EXIT_COLLAPSE = 4
+
+
 def _exit_live_for(cap: int, min_cap: int) -> int:
     """In-kernel census-cliff exit threshold for the ring engine.
 
@@ -133,26 +142,20 @@ def load_cross_sections(cfg: SimConfig, dtype) -> tuple[CrossSection,
     quartic grid still get the analytic O(1)-index path; arbitrary user
     tables fall back to searchsorted gathers.
     """
-    import os
+    from .xs import find_cs_files
 
-    from .constants import CS_CAPTURE_FILENAME, CS_SCATTER_FILENAME
-
-    dirs = [os.getcwd()]
-    if cfg.params_path:
-        dirs.append(os.path.dirname(os.path.abspath(cfg.params_path)))
-    for d in dirs:
-        s_path = os.path.join(d, CS_SCATTER_FILENAME)
-        a_path = os.path.join(d, CS_CAPTURE_FILENAME)
-        if os.path.isfile(s_path) and os.path.isfile(a_path):
-            s = CrossSection.from_file(s_path, dtype=dtype)
-            a = CrossSection.from_file(a_path, dtype=dtype)
-            if cfg.fast_math and s.quartic:
-                s = CrossSection(s.keys, s.values, quartic=True,
-                                 analytic=True)
-            if cfg.fast_math and a.quartic:
-                a = CrossSection(a.keys, a.values, quartic=True,
-                                 analytic=True)
-            return s, a
+    paths = find_cs_files(cfg.params_path)
+    if paths is not None:
+        s_path, a_path = paths
+        s = CrossSection.from_file(s_path, dtype=dtype)
+        a = CrossSection.from_file(a_path, dtype=dtype)
+        if cfg.fast_math and s.quartic:
+            s = CrossSection(s.keys, s.values, quartic=True,
+                             analytic=True)
+        if cfg.fast_math and a.quartic:
+            a = CrossSection(a.keys, a.values, quartic=True,
+                             analytic=True)
+        return s, a
     s = CrossSection.resonance(dtype=dtype, analytic=cfg.fast_math)
     return s, CrossSection.resonance(dtype=dtype, analytic=cfg.fast_math)
 
@@ -172,19 +175,29 @@ def make_geometry(cfg: SimConfig) -> Geometry:
     """
     from .flight import disjoint_rects
     from .mesh import region_cell_bounds
+    # Non-uniform meshes have no global pitch: dx/dy stay 0 so facet
+    # distances gather the per-cell edge arrays (transport._facet_edges;
+    # reference semantics omp3/neutral.c:423-471 via edgex[cellx]), and
+    # the flight engine (closed-form uniform-pitch rasterization) is
+    # unavailable.  Analytic density REGIONS remain valid — their cell
+    # bounds are computed from the actual edge midpoints.
+    uni = cfg.uniform_mesh
+    dx = cfg.width / cfg.nx if uni else 0.0
+    dy = cfg.height / cfg.ny if uni else 0.0
     if cfg.density_file:
         return Geometry(global_nx=cfg.nx, global_ny=cfg.ny,
                         nx=cfg.nx, ny=cfg.ny,
-                        dx=cfg.width / cfg.nx, dy=cfg.height / cfg.ny,
+                        dx=dx, dy=dy,
                         rng_scheme=cfg.rng)
     if cfg.fast_math:
         regions = region_cell_bounds(cfg)
         return Geometry(global_nx=cfg.nx, global_ny=cfg.ny,
                         nx=cfg.nx, ny=cfg.ny,
-                        dx=cfg.width / cfg.nx, dy=cfg.height / cfg.ny,
+                        dx=dx, dy=dy,
                         regions=regions,
                         rng_scheme=cfg.rng,
-                        rects=disjoint_rects(regions, cfg.nx, cfg.ny))
+                        rects=(disjoint_rects(regions, cfg.nx, cfg.ny)
+                               if uni else None))
     return Geometry(global_nx=cfg.nx, global_ny=cfg.ny, nx=cfg.nx, ny=cfg.ny,
                     rng_scheme=cfg.rng)
 
@@ -253,9 +266,12 @@ class SimulationBase:
             on_tpu = jax.default_backend() == "tpu"
             # Grid decks (density_file) run the ring engine's carried-
             # density mode; only the fast_math=False verification mode
-            # stays on the XLA sweep by design.
+            # stays on the XLA sweep by design.  Non-uniform meshes have
+            # no global pitch — both Mosaic kernels require one, so such
+            # decks route to the XLA sweep (edge-array gathers).
             self.use_pallas = bool((cfg.fast_math or cfg.density_file)
-                                   and is_f32 and on_tpu)
+                                   and is_f32 and on_tpu
+                                   and cfg.uniform_mesh)
             # Decks with near-vacuum regions are facet-dominated there:
             # free flight through a vacuum rect replaces thousands of
             # per-cell facet events with one closed-form piece, and the
@@ -265,6 +281,7 @@ class SimulationBase:
             # v5e).  Uniformly dense decks (scatter) have sub-cell
             # flights everywhere — they stay on the leaner ring engine.
             if (on_tpu and cfg.fast_math and is_f32 and self.supports_flight
+                    and cfg.uniform_mesh
                     and not cfg.density_file and cfg.problems
                     and any(r.density < 1.0 for r in cfg.problems)):
                 self.use_flight = True
@@ -272,6 +289,15 @@ class SimulationBase:
         else:
             self.use_pallas = engine == "pallas"
             self.use_flight = engine == "flight"
+            if (self.use_pallas or self.use_flight) and not cfg.uniform_mesh:
+                # Loud rejection (VERDICT r4): the fused Mosaic kernels
+                # evaluate facet distances from ONE uniform pitch; a
+                # non-uniform deck would silently run the wrong geometry.
+                raise ValueError(
+                    f"engine='{engine}' requires a uniform mesh; this deck "
+                    "declares non-uniform edges (edgex_file/edgey_file/"
+                    "mesh_stretch_*) — use engine='auto' or 'xla' (the "
+                    "edge-array sweep)")
             if self.use_pallas and not is_f32:
                 raise ValueError("engine='pallas' requires dtype float32 "
                                  f"(got {self.dtype})")
@@ -634,7 +660,7 @@ class Simulation(SimulationBase):
                     interpret=getattr(self, "pallas_interpret", False),
                     scatter_layout=self.scatter_layout,
                     absorb_layout=self.absorb_layout,
-                    exit_live=exit_live,
+                    exit_live=exit_live, exit_collapse=_EXIT_COLLAPSE,
                     density_grid=(self.mesh.density
                                   if self.geom.regions is None else None))
             else:
@@ -958,7 +984,7 @@ class Simulation(SimulationBase):
                 seg_plane=use_walker,
                 scatter_layout=self.scatter_layout,
                 absorb_layout=self.absorb_layout, band_nty=band_nty,
-                exit_live=exit_live)
+                exit_live=exit_live, exit_collapse=_EXIT_COLLAPSE)
             if use_walker:
                 # Ring-direct in-loop walker: segments rasterized into
                 # rbuf INSIDE the chunk program; rings are empty at every

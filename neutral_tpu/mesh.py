@@ -52,6 +52,72 @@ class Mesh2D:
         return cls(nx, ny, width, height, edgex, edgey, density, uniform)
 
 
+def _load_edges(path: str, n_edges: int, extent: float) -> np.ndarray:
+    """Read an edge-coordinate file (.npy or whitespace text), validated."""
+    if path.endswith(".npy"):
+        e = np.load(path)
+    else:
+        e = np.loadtxt(path, dtype=np.float64)
+    e = np.asarray(e, np.float64).reshape(-1)
+    if e.shape[0] != n_edges:
+        raise ValueError(f"{path}: expected {n_edges} edge coordinates, "
+                         f"got {e.shape[0]}")
+    if not np.all(np.diff(e) > 0):
+        raise ValueError(f"{path}: edge coordinates must be strictly "
+                         "ascending")
+    if abs(e[0]) > 1e-12 * extent or abs(e[-1] - extent) > 1e-9 * extent:
+        raise ValueError(
+            f"{path}: edges must span [0, {extent}] (the deck's domain "
+            f"extent); got [{e[0]}, {e[-1]}]")
+    e[0], e[-1] = 0.0, extent  # snap away file-format rounding
+    return e
+
+
+def _stretch_edges(n: int, extent: float, ratio: float) -> np.ndarray:
+    """Geometric-progression edges: cell i+1 is `ratio` x cell i."""
+    w = ratio ** np.arange(n, dtype=np.float64)
+    e = np.concatenate([[0.0], np.cumsum(w)])
+    return e * (extent / e[-1])
+
+
+def build_edges(cfg: SimConfig) -> tuple[np.ndarray, np.ndarray]:
+    """(edgex, edgey) float64 host arrays per the deck's mesh grammar.
+
+    Uniform by default; `edgex_file`/`edgey_file` load explicit edge
+    coordinates and `mesh_stretch_x`/`mesh_stretch_y` build geometric
+    progressions.  The reference's mesh carries per-cell edge arrays
+    through every backend (neutral_interface.h:14-16) — this is the deck
+    grammar the arch harness never had for populating them non-uniformly.
+    """
+    if cfg.edgex_file:
+        edgex = _load_edges(cfg.edgex_file, cfg.nx + 1, cfg.width)
+    elif cfg.mesh_stretch_x != 1.0:
+        edgex = _stretch_edges(cfg.nx, cfg.width, cfg.mesh_stretch_x)
+    else:
+        edgex = (np.arange(cfg.nx + 1, dtype=np.float64)
+                 * (cfg.width / cfg.nx))
+    if cfg.edgey_file:
+        edgey = _load_edges(cfg.edgey_file, cfg.ny + 1, cfg.height)
+    elif cfg.mesh_stretch_y != 1.0:
+        edgey = _stretch_edges(cfg.ny, cfg.height, cfg.mesh_stretch_y)
+    else:
+        edgey = (np.arange(cfg.ny + 1, dtype=np.float64)
+                 * (cfg.height / cfg.ny))
+    return edgex, edgey
+
+
+def _cell_centers(cfg: SimConfig) -> tuple[np.ndarray, np.ndarray]:
+    """(cx, cy) float64 cell centers from the deck's (possibly
+    non-uniform) edges; uniform decks keep the historical closed form
+    (bitwise-identical centers, so existing goldens are untouched)."""
+    if cfg.uniform_mesh:
+        cx = (np.arange(cfg.nx) + 0.5) * (cfg.width / cfg.nx)
+        cy = (np.arange(cfg.ny) + 0.5) * (cfg.height / cfg.ny)
+        return cx, cy
+    edgex, edgey = build_edges(cfg)
+    return 0.5 * (edgex[:-1] + edgex[1:]), 0.5 * (edgey[:-1] + edgey[1:])
+
+
 def build_density(cfg: SimConfig, dtype=np.float64) -> np.ndarray:
     """Density field from problem regions (host-side numpy).
 
@@ -74,9 +140,9 @@ def build_density(cfg: SimConfig, dtype=np.float64) -> np.ndarray:
                              "finite and non-negative")
         return density.astype(dtype)
     density = np.zeros((cfg.ny, cfg.nx), dtype=np.float64)
-    # Cell centers in physical coordinates.
-    cx = (np.arange(cfg.nx) + 0.5) * (cfg.width / cfg.nx)
-    cy = (np.arange(cfg.ny) + 0.5) * (cfg.height / cfg.ny)
+    # Cell centers in physical coordinates (edge midpoints on
+    # non-uniform meshes).
+    cx, cy = _cell_centers(cfg)
     for region in cfg.problems:
         x0 = region.xpos * cfg.width
         y0 = region.ypos * cfg.height
@@ -97,8 +163,7 @@ def region_cell_bounds(cfg: SimConfig) -> tuple:
     Returns ((ix0, ix1, iy0, iy1, density), ...) — hashable, for the
     static Geometry.regions field.
     """
-    cx = (np.arange(cfg.nx) + 0.5) * (cfg.width / cfg.nx)
-    cy = (np.arange(cfg.ny) + 0.5) * (cfg.height / cfg.ny)
+    cx, cy = _cell_centers(cfg)
     out = []
     for region in cfg.problems:
         x0 = region.xpos * cfg.width
@@ -128,8 +193,9 @@ def build_mesh(cfg: SimConfig, dtype=None, with_density: bool = True
     dtype = jnp.dtype(dtype or cfg.dtype)
     # Edges computed in f64 on host then cast: matches the reference's
     # uniform spacing (edge[i] = i * width / nx) to the target precision.
-    edgex = (np.arange(cfg.nx + 1, dtype=np.float64) * (cfg.width / cfg.nx))
-    edgey = (np.arange(cfg.ny + 1, dtype=np.float64) * (cfg.height / cfg.ny))
+    # Non-uniform decks (edge files / geometric stretch) populate the
+    # same arrays; consumers see uniform=False and take the gather paths.
+    edgex, edgey = build_edges(cfg)
     if with_density:
         density = jnp.asarray(build_density(cfg, dtype=np.dtype(dtype)))
     else:
@@ -139,4 +205,5 @@ def build_mesh(cfg: SimConfig, dtype=None, with_density: bool = True
         edgex=jnp.asarray(edgex.astype(np.dtype(dtype))),
         edgey=jnp.asarray(edgey.astype(np.dtype(dtype))),
         density=density,
+        uniform=cfg.uniform_mesh,
     )

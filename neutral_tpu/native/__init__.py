@@ -134,19 +134,32 @@ class NativeSimulation:
     """Full simulation on the native engine (mirrors driver.Simulation)."""
 
     def __init__(self, cfg):
-        from ..mesh import build_density
-        from ..xs import make_resonance_table
+        from ..mesh import build_density, build_edges
+        from ..xs import find_cs_files, make_resonance_table, read_cs_file
 
         self.cfg = cfg
         # RNG stream scheme: threefry (omp3/omp4/cuda family) or pcg64si
         # (oacc/raja family) — same selector as the JAX engine (cfg.rng).
         self._scheme = 1 if getattr(cfg, "rng", "threefry") == "pcg64si" else 0
+        # density_file grids and user .cs tables load exactly like the
+        # JAX driver (reference: neutral_data.c:119-170 loads the .cs
+        # pair at init) — the native engine is the independent oracle
+        # for table/grid decks, so it must run the SAME inputs.
         self.density = build_density(cfg, dtype=np.float64)
-        self.edgex = (np.arange(cfg.nx + 1, dtype=np.float64)
-                      * (cfg.width / cfg.nx))
-        self.edgey = (np.arange(cfg.ny + 1, dtype=np.float64)
-                      * (cfg.height / cfg.ny))
-        self.cs_keys, self.cs_vals = make_resonance_table()
+        # Deck-grammar edges (incl. non-uniform: edge files / geometric
+        # stretch) — the history loop reads edgex[cellx] directly, so
+        # non-uniform meshes need no special casing here.
+        self.edgex, self.edgey = build_edges(cfg)
+        paths = find_cs_files(getattr(cfg, "params_path", None))
+        if paths is not None:
+            self.cs_keys, self.cs_vals = read_cs_file(paths[0])
+            self.ca_keys, self.ca_vals = read_cs_file(paths[1])
+        else:
+            self.cs_keys, self.cs_vals = make_resonance_table()
+            self.ca_keys, self.ca_vals = self.cs_keys, self.cs_vals
+        for name in ("cs_keys", "cs_vals", "ca_keys", "ca_vals"):
+            setattr(self, name,
+                    np.ascontiguousarray(getattr(self, name), np.float64))
         self.tally = np.zeros(cfg.nx * cfg.ny, np.float64)
         self.state = NativeState(cfg.nparticles)
         lib = _load()
@@ -178,8 +191,8 @@ class NativeSimulation:
             ctypes.c_int(cfg.nx), ctypes.c_int(cfg.ny),
             self.cs_keys.ctypes.data_as(dp), self.cs_vals.ctypes.data_as(dp),
             ctypes.c_int(len(self.cs_keys)),
-            self.cs_keys.ctypes.data_as(dp), self.cs_vals.ctypes.data_as(dp),
-            ctypes.c_int(len(self.cs_keys)),
+            self.ca_keys.ctypes.data_as(dp), self.ca_vals.ctypes.data_as(dp),
+            ctypes.c_int(len(self.ca_keys)),
             ctypes.c_double(cfg.dt), ctypes.c_uint64(tt),
             ctypes.c_int64(cfg.nparticles),
             self.tally.ctypes.data_as(dp),

@@ -453,7 +453,7 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
                              scatter_layout: TableLayout | None = None,
                              absorb_layout: TableLayout | None = None,
                              band_nty: int | None = None,
-                             exit_live: int = 0):
+                             exit_live: int = 0, exit_collapse: int = 4):
     """Fused flight chunk: kernel calls + in-loop ring drains.
 
     Flush rings drain straight into the tally (pallas_sweep._drain_rings).
@@ -481,16 +481,18 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
     callers).
 
     `exit_live` > 0: in-kernel census-cliff exit — the while_loop stops
-    once the workable-lane count BOTH drops below exit_live AND halves
-    against the chunk-entry count, so the host compacts at a cliff's
-    onset instead of paying max_calls of mostly-dead pieces (and,
-    conversely, max_calls can be set LARGE so steady-state chunks stop
-    exiting just to let the host poll the live count: each exit is a
-    blocking ctrl fetch, a full tunnel round trip).  The halving guard
-    keeps gradual decay on the full-chunk cadence — without it every
-    ~1.33x ladder level exits and compacts (see pallas_sweep_chunk's
-    docstring for the measured cost).  Callers must pick exit_live low
-    enough that their compaction ladder fires on exit.
+    once the workable-lane count BOTH drops below exit_live AND
+    collapses `exit_collapse`x against the chunk-entry count, so the
+    host compacts at a cliff's onset instead of paying max_calls of
+    mostly-dead pieces (and, conversely, max_calls can be set LARGE so
+    steady-state chunks stop exiting just to let the host poll the live
+    count: each exit is a blocking ctrl fetch, a full tunnel round
+    trip).  The collapse guard keeps gradual decay on the full-chunk
+    cadence — without it every ~1.33x ladder level exits and compacts,
+    and a mere halving guard still thrashes on sharp census tails (see
+    pallas_sweep_chunk's docstring for the measured costs).  Callers
+    must pick exit_live low enough that their compaction ladder fires
+    on exit.
     """
     from .pallas_sweep import _drain_rings
     from .raster import rasterize_walk_rings_impl
@@ -534,7 +536,8 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
          live_c) = carry
         ok = jnp.any(working(s)) & (it < max_calls) & (~full)
         if exit_live:
-            ok = ok & ((live_c >= exit_live) | (2 * live_c >= live0))
+            ok = ok & ((live_c >= exit_live)
+                       | (exit_collapse * live_c >= live0))
         return ok
 
     def body(carry):
@@ -673,7 +676,7 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
                                    "k_pieces", "tile", "pair_cap",
                                    "interpret", "use_ring_walker",
                                    "ntx", "nty", "seg_plane", "band_nty",
-                                   "exit_live"),
+                                   "exit_live", "exit_collapse"),
          donate_argnums=(0, 1, 3, 4, 5, 6, 7, 8, 11))
 def pallas_flight_chunk(state: ParticleState, tally, counts: EventCounts,
                         fc, fv, fn, sfields, sn, segbuf, sbase, spairs,
@@ -689,7 +692,7 @@ def pallas_flight_chunk(state: ParticleState, tally, counts: EventCounts,
                         scatter_layout: TableLayout | None = None,
                         absorb_layout: TableLayout | None = None,
                         band_nty: int | None = None,
-                        exit_live: int = 0):
+                        exit_live: int = 0, exit_collapse: int = 4):
     """Jitted single-device wrapper of pallas_flight_chunk_impl.
 
     `rbuf` — the padded (nty*tile, ntx*tile) f32 raster buffer, or None
@@ -709,7 +712,7 @@ def pallas_flight_chunk(state: ParticleState, tally, counts: EventCounts,
         use_ring_walker=use_ring_walker, rbuf=rbuf, ntx=ntx, nty=nty,
         seg_plane=seg_plane, scatter_layout=scatter_layout,
         absorb_layout=absorb_layout, band_nty=band_nty,
-        exit_live=exit_live)
+        exit_live=exit_live, exit_collapse=exit_collapse)
     ctrl = jnp.stack([done.astype(jnp.int32), sbase, spairs, n_work,
                       npend])
     return (state, tally, counts, fc, fv, fn, sfields, sn, segbuf, rbuf,

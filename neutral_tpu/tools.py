@@ -39,6 +39,8 @@ def cmd_gen_golden(args) -> int:
     cfg = load_config(args.deck)
     if args.nparticles:
         cfg = cfg.with_(nparticles=args.nparticles)
+    if args.rng:
+        cfg = cfg.with_(rng=args.rng)
     sim = native.NativeSimulation(cfg)
     total = sim.run()
     print(f"{args.deck} result={total:.12e}")
@@ -106,6 +108,10 @@ def main(argv=None) -> int:
     g = sub.add_parser("gen-golden", help="golden tally via native engine")
     g.add_argument("deck")
     g.add_argument("--nparticles", type=int, default=None)
+    g.add_argument("--rng", default=None, choices=["threefry", "pcg64si"],
+                   help="RNG stream scheme (pcg64si: generate goldens for "
+                        "the oacc/raja-contract scheme into "
+                        "neutral_pcg.tests)")
     g.set_defaults(fn=cmd_gen_golden)
 
     g = sub.add_parser("compare", help="native vs JAX engine agreement")

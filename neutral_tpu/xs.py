@@ -43,6 +43,30 @@ def write_cs_file(path: str, keys: np.ndarray, values: np.ndarray) -> None:
             f.write(f"{k:.12e} {v:.12e}\n")
 
 
+def find_cs_files(params_path: str | None = None
+                  ) -> tuple[str, str] | None:
+    """Locate user (elastic_scatter.cs, capture.cs) table files, or None.
+
+    The reference loads both tables by fixed filename from the working
+    directory (neutral_data.c:119,173-178; names neutral_data.h:30-31).
+    We look in cwd first, then the deck's own directory, and require the
+    PAIR (a lone file would silently mix user and generated data).
+    """
+    import os
+
+    from .constants import CS_CAPTURE_FILENAME, CS_SCATTER_FILENAME
+
+    dirs = [os.getcwd()]
+    if params_path:
+        dirs.append(os.path.dirname(os.path.abspath(params_path)))
+    for d in dirs:
+        s_path = os.path.join(d, CS_SCATTER_FILENAME)
+        a_path = os.path.join(d, CS_CAPTURE_FILENAME)
+        if os.path.isfile(s_path) and os.path.isfile(a_path):
+            return s_path, a_path
+    return None
+
+
 def read_cs_file(path: str) -> tuple[np.ndarray, np.ndarray]:
     """Read a `.cs` text table (rows of `energy value`)."""
     data = np.loadtxt(path, dtype=np.float64)
