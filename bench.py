@@ -80,9 +80,18 @@ def bench_deck(name: str, here: str, n_dev: int,
     from neutral_tpu.config import load_config
     from neutral_tpu.constants import VALIDATE_TOLERANCE
 
-    cfg = load_config(os.path.join(here, "problems", f"{name}.params"))
+    deck_path = os.path.join(here, "problems", f"{name}.params")
+    cfg = load_config(deck_path)
     if rng != "threefry":
-        cfg = dataclasses.replace(cfg, rng=rng)
+        # Scheme-specific golden (problems/neutral_pcg.tests, generated
+        # at full deck scale by the native engine): RNG schemes are
+        # independent statistical realizations, so validating a pcg run
+        # against the threefry golden makes correct code "fail" at 1M
+        # particles (round-4 split_pcg shipped validated=false that way).
+        from neutral_tpu.config import _find_expected_tally
+        cfg = dataclasses.replace(
+            cfg, rng=rng,
+            expected_tally=_find_expected_tally(deck_path, rng=rng))
 
     # One retry covers a transient remote-TPU drop; the first failure is
     # logged so a deterministic bug that passes on retry stays visible.
@@ -118,7 +127,10 @@ def bench_deck(name: str, here: str, n_dev: int,
         "events": events,
         "solve_time_s": solve_time,
     }
-    if name == "csp":
+    if name == "csp" and rng == "threefry":
+        # The shipped csp golden is a statistical outlier (BASELINE.md);
+        # the threefry record validates against the reference omp3
+        # backend's own tally.  pcg csp has its own native-engine golden.
         rel_omp3 = abs(tally_sum - CSP_OMP3_TALLY) / CSP_OMP3_TALLY
         rec["tally_rel_err_vs_omp3"] = rel_omp3
         rec["validated"] = bool(rel_omp3 < VALIDATE_TOLERANCE)

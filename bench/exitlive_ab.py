@@ -4,7 +4,13 @@ Usage: python bench/exitlive_ab.py <deck> [mode ...]
 modes:
   off     exit_live=0 -> chunks always run to max_sweeps/max_calls
   halve   exit_collapse=2 (the round-4 shipped guard; regressed scatter)
-  quarter exit_collapse=4 (driver default since round 5)
+  quarter exit_collapse=4
+
+Measured 2026-08-19 (scatter, ring engine): off 2.169e9, quarter
+1.660e9, halve 0.911e9 ev/s — ANY in-kernel exit loses on the ring
+engine (the per-call live count alone costs ~1s/solve at 10M lanes), so
+the driver ships _RING_EXIT=False; halve/quarter re-enable it here.
+The flight engine keeps its exit (it lets max_calls run long).
 """
 import os
 import sys
@@ -28,11 +34,11 @@ def run(deck: str, modes):
 
     for mode in modes:
         if mode == "off":
-            drv._exit_live_for = lambda c, m: 0
+            drv._RING_EXIT = False
             drv._flight_exit_live = lambda c, m: 0
             drv._EXIT_COLLAPSE = real_collapse
         else:
-            drv._exit_live_for = real_fn
+            drv._RING_EXIT = True
             drv._flight_exit_live = real_ffn
             drv._EXIT_COLLAPSE = {"halve": 2, "quarter": 4}[mode]
         for measured in (False, True):
@@ -48,6 +54,7 @@ def run(deck: str, modes):
             if measured:
                 print(f"exit={mode}: {events} events in {dt:.3f}s "
                       f"= {events / dt:.3e} ev/s", flush=True)
+    drv._RING_EXIT = False
     drv._exit_live_for = real_fn
     drv._flight_exit_live = real_ffn
     drv._EXIT_COLLAPSE = real_collapse

@@ -137,6 +137,7 @@ def load_config(problem_path: str) -> SimConfig:
             return arch.get_double(name)
         return default
 
+    rng_scheme = pf.get_string("rng", "threefry")
     src_entry = pf.get_key_value("source")
     if src_entry is None:
         raise ValueError(f"{problem_path}: no 'source' entry")
@@ -152,7 +153,7 @@ def load_config(problem_path: str) -> SimConfig:
             density=d["density"], xpos=d["xpos"], ypos=d["ypos"],
             width=d["width"], height=d["height"]))
 
-    expected = _find_expected_tally(problem_path)
+    expected = _find_expected_tally(problem_path, rng=rng_scheme)
 
     def deck_path(key: str) -> str:
         p = pf.get_string(key, "")
@@ -179,24 +180,31 @@ def load_config(problem_path: str) -> SimConfig:
         source=source,
         problems=tuple(problems),
         visit_dump=bool(pf.get_int("visit_dump", 0)),
-        rng=pf.get_string("rng", "threefry"),
+        rng=rng_scheme,
         expected_tally=expected,
         params_path=problem_path,
     )
 
 
-def _find_expected_tally(problem_path: str) -> float | None:
+def _find_expected_tally(problem_path: str,
+                         rng: str = "threefry") -> float | None:
     """Look up the golden tally for this deck in a `neutral.tests` file.
 
     Same contract as the reference (omp3/neutral.c:541-545): a file of
     `<deck-path> result=<value>` lines living at problems/neutral.tests
     relative to the working directory — we also accept one next to the deck.
+
+    RNG schemes are independent statistical realizations (the reference's
+    own backends only agree cross-scheme to ~1e-3 at 1M particles), so a
+    pcg64si deck validates against scheme-specific goldens
+    (`neutral_pcg.tests`, generated at full deck scale by the native
+    engine) when present, falling back to the threefry file.
     """
-    cands = [
-        os.path.join(os.path.dirname(os.path.abspath(problem_path)),
-                     "neutral.tests"),
-        os.path.join("problems", "neutral.tests"),
-    ]
+    names = (["neutral_pcg.tests", "neutral.tests"]
+             if rng == "pcg64si" else ["neutral.tests"])
+    deck_dir = os.path.dirname(os.path.abspath(problem_path))
+    cands = [os.path.join(d, n) for n in names
+             for d in (deck_dir, "problems")]
     base = os.path.basename(problem_path)
     for cand in cands:
         if not os.path.isfile(cand):

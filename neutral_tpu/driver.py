@@ -94,6 +94,13 @@ def _ladder_target(live: int, min_cap: int) -> int:
 # ev/s, the round-4 regression).  bench/exitlive_ab.py A/Bs this knob.
 _EXIT_COLLAPSE = 4
 
+# The RING engine's in-kernel cliff exit is OFF: every guard variant
+# measured slower than plain chunk-boundary compaction on scatter
+# (bench/exitlive_ab.py 2026-08-19: off 2.17e9, exit_collapse=4 1.66e9,
+# =2 0.91e9 ev/s — the per-call live count alone costs ~1s/solve at 10M
+# lanes).  The flag exists so the A/B harness can re-enable it.
+_RING_EXIT = False
+
 
 def _exit_live_for(cap: int, min_cap: int) -> int:
     """In-kernel census-cliff exit threshold for the ring engine.
@@ -628,6 +635,7 @@ class Simulation(SimulationBase):
         part, sel = full, None
         min_cap = self.compact_min
         cliff = False
+        prev_live = None
         if use_pallas:
             rc, rv, rn = make_rings(part.n, self.tally.dtype)
         while True:
@@ -635,18 +643,21 @@ class Simulation(SimulationBase):
             # latency per chunk; give the long-tail widths 8x the sweep
             # budget per dispatch (the bound exists to keep single XLA
             # executions short, and 2048 sweeps at <=256k lanes is still
-            # far quicker than 256 sweeps at full width).  The Pallas
-            # path catches census cliffs IN-KERNEL (exit_live below);
-            # the XLA path instead shortens chunks once live starts to
-            # drop at full width so compaction can catch the collapse —
-            # a 10M->0.2M die-off inside one 256-sweep chunk otherwise
-            # runs mostly dead lanes.
+            # far quicker than 256 sweeps at full width).  The XLA path
+            # shortens chunks once live starts to drop at full width so
+            # compaction can catch the collapse — a 10M->0.2M die-off
+            # inside one 256-sweep chunk otherwise runs mostly dead
+            # lanes.  The ring engine runs NO in-kernel cliff exit
+            # (_RING_EXIT above: every guard variant measured slower on
+            # scatter than chunk-boundary compaction; round 4's 2.3x
+            # headline regression).
             exit_live = (_exit_live_for(part.n, min_cap)
-                         if (use_pallas and self.compact_enabled
+                         if (_RING_EXIT and use_pallas
+                             and self.compact_enabled
                              and part.n > min_cap) else 0)
             if part.n <= 262144:
                 max_sw = self.chunk_sweeps * 8
-            elif cliff and not use_pallas:
+            elif cliff:
                 max_sw = max(self.chunk_sweeps // 4, 16)
             else:
                 max_sw = self.chunk_sweeps
@@ -679,6 +690,21 @@ class Simulation(SimulationBase):
             # extra dispatch is a ~33 ms round trip through the tunnel).
             live = int(n_work)       # syncs on the chunk (host chaining)
             alive = live > 0
+            if use_pallas:
+                # Census-cliff response, HOST-side (the in-kernel exit is
+                # off — _RING_EXIT above): once live collapses >=25%
+                # within one chunk, drop to quarter-length chunks so the
+                # compaction ladder samples the die-off 4x as often.
+                # Costs only extra ~33 ms round trips while the collapse
+                # lasts — no per-call in-kernel live count.
+                # Hysteresis: entering needs a >=25% in-chunk drop (at
+                # full chunk length); staying needs only the same decay
+                # RATE at quarter length (>=7% per short chunk).
+                thresh = 0.93 if cliff else 0.75
+                cliff = (prev_live is not None
+                         and live < int(prev_live * thresh)
+                         and part.n > min_cap)
+                prev_live = live
             phases["sweep"] += _time.perf_counter() - tc
             if dbg:
                 dt_chunk = _time.perf_counter() - tc
@@ -689,7 +715,8 @@ class Simulation(SimulationBase):
             cap = part.n
             if self.compact_enabled and cap > min_cap:
                 tc = _time.perf_counter()
-                cliff = live < int(cap * 0.98)
+                if not use_pallas:
+                    cliff = live < int(cap * 0.98)
                 target = _ladder_target(live, min_cap)
                 # Each new size is a separate XLA executable (disk-cached
                 # across runs); ladder steps trade a few one-time compiles
