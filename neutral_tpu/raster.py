@@ -362,9 +362,6 @@ def _walk_kernel(ntx, nty, tsz, occ_ref, seg_hbm, buf_in, buf_out,
     zero = f32(0.0)
     one = f32(1.0)
     tszf = f32(tsz)
-    inv_tsz = f32(1.0 / tsz)
-    tiny = f32(1.0e-12)
-    deg = f32(1.0e-6)
     big = f32(_BIG)
 
     def outer(ci, _):
@@ -389,45 +386,30 @@ def _walk_kernel(ntx, nty, tsz, occ_ref, seg_hbm, buf_in, buf_out,
             return 0
 
         def do_seg(p, kk):
+            # All per-segment setup scalars were PRECOMPUTED vectorized
+            # (_setup_planes: ~45 scalar-unit ops incl. two divides
+            # became ~3 ns of VPU work per segment); the serial loop
+            # just reads them.  Measured on hardware (bench/
+            # walker_probe.py): setup was ~80 ns of the ~150 ns
+            # short-segment cost.
             gx0 = scratch[slot, 0, p]
             gy0 = scratch[slot, 1, p]
-            gx1 = scratch[slot, 2, p]
-            gy1 = scratch[slot, 3, p]
-
-            dgx = gx1 - gx0
-            dgy = gy1 - gy0
-            sx = jnp.where(dgx >= zero, i32(1), i32(-1))
-            sy = jnp.where(dgy >= zero, i32(1), i32(-1))
-            # Axis-degenerate segments (vertical/horizontal to within a
-            # micro-cell — the streaming decks emit nothing else) get an
-            # EXACT column/row membership window instead of the 1/tiny
-            # giant-slope affine form: the latter relies on exact
-            # cancellation of ~1e12-scale products, which a single
-            # compiler-fused FMA silently breaks (t windows off by 1e4+).
-            degx = jnp.abs(dgx) < deg
-            degy = jnp.abs(dgy) < deg
-            ivx = one / jnp.where(degx,
-                                  jnp.where(dgx < 0, -tiny, tiny), dgx)
-            ivy = one / jnp.where(degy,
-                                  jnp.where(dgy < 0, -tiny, tiny), dgy)
-
-            def cfloor(u, n):
-                return jnp.clip(jnp.floor(u).astype(i32), 0, n - 1)
-
-            tx = cfloor(gx0 * inv_tsz, ntx)
-            ty = cfloor(gy0 * inv_tsz, nty)
-            txe = cfloor(gx1 * inv_tsz, ntx)
-            tye = cfloor(gy1 * inv_tsz, nty)
-            m = jnp.abs(txe - tx) + jnp.abs(tye - ty)
-
-            # t of the next x / y tile-boundary crossing, and increments
-            # (all in the segment's affine t parameter).
-            hx = jnp.abs(tszf * ivx)
-            hy = jnp.abs(tszf * ivy)
-            bx1 = jnp.where(sx > 0, tx + 1, tx).astype(f32) * tszf
-            by1 = jnp.where(sy > 0, ty + 1, ty).astype(f32) * tszf
-            t_nx = jnp.where(txe == tx, big, (bx1 - gx0) * ivx)
-            t_ny = jnp.where(tye == ty, big, (by1 - gy0) * ivy)
+            ivx = scratch[slot, 2, p]
+            ivy = scratch[slot, 3, p]
+            tx = scratch[slot, 5, p].astype(i32)
+            ty = scratch[slot, 6, p].astype(i32)
+            txe = scratch[slot, 7, p].astype(i32)
+            tye = scratch[slot, 8, p].astype(i32)
+            m = scratch[slot, 9, p].astype(i32)
+            t_nx = scratch[slot, 10, p]
+            t_ny = scratch[slot, 11, p]
+            hx = scratch[slot, 12, p]
+            hy = scratch[slot, 13, p]
+            flags = scratch[slot, 14, p]
+            degx = (flags == one) | (flags == f32(3.0))
+            degy = flags >= f32(2.0)
+            sx = jnp.where(ivx >= zero, i32(1), i32(-1))
+            sy = jnp.where(ivy >= zero, i32(1), i32(-1))
 
             def visit(carry):
                 tx, ty, t_nx, t_ny = carry
@@ -577,6 +559,67 @@ def _clip_to_band(gx0, gy0, gx1, gy1, kk, y0f, y1f):
             gx0 + b * dgx, gy0 + b * dgy - y0f, nkk)
 
 
+def _setup_planes(gx0, gy0, gx1, gy1, kk, *, tsz, ntx, nty):
+    """Vectorized per-segment walker setup -> 16 plane rows.
+
+    The walker's per-segment scalar setup (~45 scalar-unit ops including
+    two divides, ~80 ns/segment measured by bench/walker_probe.py) is
+    hoisted out of the kernel's serial loop into one elementwise VPU
+    pass (~3 ns/segment), shipped to the kernel as extra plane rows.
+    Same formulas, same f32 ops, so deposits are unchanged.
+
+    Row layout (row 4 = kk stays the occupancy/skip sentinel):
+      0 gx0, 1 gy0, 2 ivx, 3 ivy, 4 kk, 5 tx0, 6 ty0, 7 txe, 8 tye,
+      9 m (tile crossings), 10 t_nx0, 11 t_ny0, 12 hx, 13 hy,
+      14 flags (degx + 2*degy), 15 zero pad.
+    Tile indices and m are < 2^15, exact in f32.
+
+    Axis-degenerate segments (vertical/horizontal to within a
+    micro-cell) get an EXACT column/row membership window in the kernel
+    instead of the 1/tiny giant-slope affine form: the latter relies on
+    exact cancellation of ~1e12-scale products, which a single
+    compiler-fused FMA silently breaks (t windows off by 1e4+).
+    """
+    f32 = jnp.float32
+    i32 = jnp.int32
+    one = f32(1.0)
+    tiny = f32(1.0e-12)
+    deg = f32(1.0e-6)
+    big = f32(_BIG)
+    tszf = f32(tsz)
+    inv_tsz = f32(1.0 / tsz)
+
+    dgx = gx1 - gx0
+    dgy = gy1 - gy0
+    degx = jnp.abs(dgx) < deg
+    degy = jnp.abs(dgy) < deg
+    ivx = one / jnp.where(degx, jnp.where(dgx < 0, -tiny, tiny), dgx)
+    ivy = one / jnp.where(degy, jnp.where(dgy < 0, -tiny, tiny), dgy)
+
+    def cfloor(u, n):
+        return jnp.clip(jnp.floor(u).astype(i32), 0, n - 1)
+
+    tx = cfloor(gx0 * inv_tsz, ntx)
+    ty = cfloor(gy0 * inv_tsz, nty)
+    txe = cfloor(gx1 * inv_tsz, ntx)
+    tye = cfloor(gy1 * inv_tsz, nty)
+    m = (jnp.abs(txe - tx) + jnp.abs(tye - ty)).astype(f32)
+
+    # t of the next x / y tile-boundary crossing, and increments (all in
+    # the segment's affine t parameter).  Sign convention matches the
+    # kernel's sx/sy = sign(ivx/ivy): dgx == -0.0 gives +tiny.
+    hx = jnp.abs(tszf * ivx)
+    hy = jnp.abs(tszf * ivy)
+    bx1 = jnp.where(ivx >= 0, tx + 1, tx).astype(f32) * tszf
+    by1 = jnp.where(ivy >= 0, ty + 1, ty).astype(f32) * tszf
+    t_nx0 = jnp.where(txe == tx, big, (bx1 - gx0) * ivx)
+    t_ny0 = jnp.where(tye == ty, big, (by1 - gy0) * ivy)
+    flags = degx.astype(f32) + f32(2.0) * degy.astype(f32)
+    return [gx0, gy0, ivx, ivy, kk, tx.astype(f32), ty.astype(f32),
+            txe.astype(f32), tye.astype(f32), m, t_nx0, t_ny0, hx, hy,
+            flags]
+
+
 def _walk_banded(buf, fields, *, tile: int, ntx: int, nty: int,
                  interpret: bool, band_nty: int | None = None):
     """Walker drain of flat field vectors (gx0, gy0, gx1, gy1, kk).
@@ -595,15 +638,16 @@ def _walk_banded(buf, fields, *, tile: int, ntx: int, nty: int,
     pad = (-m) % _CHUNK
     zrow = jnp.zeros(m + pad, gx0.dtype)
 
-    def planes_of(fields):
+    def planes_of(fields, ntyb):
+        setup = _setup_planes(*fields, tsz=tile, ntx=ntx, nty=ntyb)
         padded = [jnp.concatenate([f, zrow[:pad]]) if pad else f
-                  for f in fields]
-        # 8 rows (3 zero padding rows): Mosaic HBM slices must be aligned
-        # to the (8, 128) tiling along the leading dim.
-        return jnp.stack(padded + [zrow, zrow, zrow], axis=0)
+                  for f in setup]
+        # 16 rows (15 setup + 1 zero pad): Mosaic HBM slices must be
+        # aligned to the (8, 128) tiling along the leading dim.
+        return jnp.stack(padded + [zrow], axis=0)
 
     if band_nty is None or band_nty >= nty:
-        planes = planes_of([gx0, gy0, gx1, gy1, kk])
+        planes = planes_of([gx0, gy0, gx1, gy1, kk], nty)
         return _walk_call(buf, planes, _occupied_chunks(planes[4]),
                           tile=tile, ntx=ntx, nty=nty, interpret=interpret)
 
@@ -613,7 +657,7 @@ def _walk_banded(buf, fields, *, tile: int, ntx: int, nty: int,
         y0 = t0 * tile
         cf = _clip_to_band(gx0, gy0, gx1, gy1, kk,
                            jnp.float32(y0), jnp.float32(y0 + ntyb * tile))
-        planes = planes_of(list(cf))
+        planes = planes_of(list(cf), ntyb)
         sub = lax.slice(buf, (y0, 0), (y0 + ntyb * tile, buf.shape[1]))
         sub = _walk_call(sub, planes, _occupied_chunks(planes[4]),
                          tile=tile, ntx=ntx, nty=ntyb, interpret=interpret)
