@@ -2,15 +2,20 @@
 
 Usage: python bench/exitlive_ab.py <deck> [mode ...]
 modes:
-  off     exit_live=0 -> chunks always run to max_sweeps/max_calls
-  halve   exit_collapse=2 (the round-4 shipped guard; regressed scatter)
-  quarter exit_collapse=4
+  off     no in-kernel exit, no host cliff shortening
+  act     activity exit (nf+nc collapse): free per-call detector,
+          exits at the cliff's onset (measured SLOWER on scatter —
+          see driver._RING_EXIT_ACT; the compaction response is the
+          cost, not the detector)
+  halve   live-count exit, exit_collapse=2 (the round-4 regression)
+  quarter live-count exit, exit_collapse=4
 
 Measured 2026-08-19 (scatter, ring engine): off 2.169e9, quarter
-1.660e9, halve 0.911e9 ev/s — ANY in-kernel exit loses on the ring
-engine (the per-call live count alone costs ~1s/solve at 10M lanes), so
-the driver ships _RING_EXIT=False; halve/quarter re-enable it here.
-The flight engine keeps its exit (it lets max_calls run long).
+1.660e9, halve 0.911e9 ev/s — any LIVE-COUNT exit loses on the ring
+engine (the per-call count_nonzero(working_mask) alone costs ~1s/solve
+at 10M lanes).  The activity exit reuses the per-call event-count
+reduction the metric contract already pays for, so only the exit's
+compaction cadence differs from "off".
 """
 import os
 import sys
@@ -33,7 +38,8 @@ def run(deck: str, modes):
     real_collapse = drv._EXIT_COLLAPSE
 
     for mode in modes:
-        if mode == "off":
+        drv._RING_EXIT_ACT = mode == "act"
+        if mode in ("off", "act"):
             drv._RING_EXIT = False
             drv._flight_exit_live = lambda c, m: 0
             drv._EXIT_COLLAPSE = real_collapse
@@ -55,6 +61,7 @@ def run(deck: str, modes):
                 print(f"exit={mode}: {events} events in {dt:.3f}s "
                       f"= {events / dt:.3e} ev/s", flush=True)
     drv._RING_EXIT = False
+    drv._RING_EXIT_ACT = False
     drv._exit_live_for = real_fn
     drv._flight_exit_live = real_ffn
     drv._EXIT_COLLAPSE = real_collapse

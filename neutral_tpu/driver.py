@@ -94,12 +94,25 @@ def _ladder_target(live: int, min_cap: int) -> int:
 # ev/s, the round-4 regression).  bench/exitlive_ab.py A/Bs this knob.
 _EXIT_COLLAPSE = 4
 
-# The RING engine's in-kernel cliff exit is OFF: every guard variant
-# measured slower than plain chunk-boundary compaction on scatter
+# The RING engine's in-kernel LIVE-COUNT cliff exit is OFF: every guard
+# variant measured slower than plain chunk-boundary compaction on scatter
 # (bench/exitlive_ab.py 2026-08-19: off 2.17e9, exit_collapse=4 1.66e9,
-# =2 0.91e9 ev/s — the per-call live count alone costs ~1s/solve at 10M
-# lanes).  The flag exists so the A/B harness can re-enable it.
+# =2 0.91e9 ev/s — the per-call count_nonzero(working_mask) alone costs
+# ~1s/solve at 10M lanes).  The flag exists so the A/B harness can
+# re-enable it.
 _RING_EXIT = False
+
+# The ACTIVITY cliff exit (pallas_sweep_chunk exit_activity): the
+# per-call nf+nc event-count reduction — already computed for the
+# metric contract, zero extra work — is a live-population proxy (one
+# event per live lane per sweep), so an in-chunk activity collapse can
+# exit the chunk at a cliff's onset for FREE, unlike the live-count
+# exit.  Measured on scatter (bench/exitlive_ab.py 2026-08-20): act
+# 1.753e9 vs off 2.170e9 ev/s — even a free detector loses, because
+# the response (a drain + merge + reselect per ~4x ladder level, each
+# touching the full 10M-lane arrays) costs more than the dead-lane
+# sweeps it avoids.  OFF in production; "act" mode re-enables for A/B.
+_RING_EXIT_ACT = False
 
 
 def _exit_live_for(cap: int, min_cap: int) -> int:
@@ -655,9 +668,16 @@ class Simulation(SimulationBase):
                          if (_RING_EXIT and use_pallas
                              and self.compact_enabled
                              and part.n > min_cap) else 0)
+            exit_act = (_RING_EXIT_ACT and use_pallas
+                        and self.compact_enabled and part.n > min_cap
+                        # the ladder must be able to fire on a 4x
+                        # collapse, else the next chunk re-exits
+                        # immediately (a host-round-trip spin)
+                        and _ladder_target(part.n // _EXIT_COLLAPSE,
+                                           min_cap) <= (part.n * 3) // 4)
             if part.n <= 262144:
                 max_sw = self.chunk_sweeps * 8
-            elif cliff:
+            elif cliff and not exit_act:
                 max_sw = max(self.chunk_sweeps // 4, 16)
             else:
                 max_sw = self.chunk_sweeps
@@ -672,6 +692,7 @@ class Simulation(SimulationBase):
                     scatter_layout=self.scatter_layout,
                     absorb_layout=self.absorb_layout,
                     exit_live=exit_live, exit_collapse=_EXIT_COLLAPSE,
+                    exit_activity=exit_act,
                     density_grid=(self.mesh.density
                                   if self.geom.regions is None else None))
             else:
@@ -958,6 +979,15 @@ class Simulation(SimulationBase):
                  or (8 if big else 16))
             if big:
                 default_mc = (64 if exit_live else 32) if use_walker else 32
+            elif use_walker:
+                # Tail widths, walker mode: the kernel is cheap (~0.4 ms
+                # per 65k-lane call) and every chunk exit + ladder step
+                # costs a blocking ~33 ms ctrl round trip through the
+                # axon tunnel — run the whole death tail to work
+                # exhaustion in ONE dispatch (the in-loop drains keep
+                # rings empty; 512 calls bounds the worst-case dispatch
+                # length for link robustness).
+                default_mc = 512
             else:
                 default_mc = 128
             mc = getattr(self, "flight_max_calls", None) or default_mc
@@ -996,8 +1026,12 @@ class Simulation(SimulationBase):
 
         while True:
             t0 = _time.perf_counter()
+            # Tail widths in walker mode run to completion (no cliff
+            # exit): compacting 65k -> 16k -> 8k saves negligible kernel
+            # time but costs a round trip + ladder dispatch per step.
             exit_live = (_flight_exit_live(part.n, min_cap)
-                         if self.compact_enabled and part.n > min_cap
+                         if (self.compact_enabled and part.n > min_cap
+                             and (part.n > 262144 or not use_walker))
                          else 0)
             k_pieces, max_calls = pick_kmax(part.n, exit_live)
             (part, self.tally, counts, fc, fv, fn, sfields, sn, segbuf,

@@ -457,7 +457,7 @@ def compact_with_rings(full: ParticleState, part, sel, tally,
 
 @partial(jax.jit, static_argnames=("geom", "inv_ntotal", "max_sweeps",
                                    "k_events", "interpret", "exit_live",
-                                   "exit_collapse"),
+                                   "exit_collapse", "exit_activity"),
          donate_argnums=(0, 1, 3, 4, 5))
 def pallas_sweep_chunk(state: ParticleState, tally: jnp.ndarray,
                        counts: EventCounts, ring_cell, ring_val, ring_cnt,
@@ -469,6 +469,7 @@ def pallas_sweep_chunk(state: ParticleState, tally: jnp.ndarray,
                        scatter_layout: TableLayout | None = None,
                        absorb_layout: TableLayout | None = None,
                        exit_live: int = 0, exit_collapse: int = 4,
+                       exit_activity: bool = False,
                        density_grid=None):
     """Bounded Pallas sweep chunk (the TPU fast path).
 
@@ -524,16 +525,26 @@ def pallas_sweep_chunk(state: ParticleState, tally: jnp.ndarray,
         if exit_live else jnp.asarray(n, jnp.int32))
 
     def cond(carry):
-        s, _, _, rc, rv, rn, it, live_c = carry
+        s, _, _, rc, rv, rn, it, live_c, act0, act = carry
         working = working_mask(s, geom, y_off, x_off)
         ok = jnp.any(working) & (it < n_outer)
         if exit_live:
             ok = ok & ((live_c >= exit_live)
                        | (exit_collapse * live_c >= live0))
+        if exit_activity:
+            # Census-cliff exit on EVENT-COUNT collapse: every live lane
+            # produces exactly one event per sweep, so the per-call
+            # nf+nc reduction (already computed for the metric contract
+            # — no extra work, unlike the count_nonzero(working_mask)
+            # live count that measurably cost ~1 s/solve at 10M lanes)
+            # is a live-population proxy.  A >= exit_collapse x drop
+            # against the chunk's FIRST call exits so the host compacts
+            # at the cliff's onset; gradual decay never trips it.
+            ok = ok & ((it < 2) | (exit_collapse * act >= act0))
         return ok
 
     def body(carry):
-        s, t, c, rc, rv, rn, it, live_c = carry
+        s, t, c, rc, rv, rn, it, live_c, act0, act = carry
         band = None
         if scatter_layout is not None:
             # Re-derive the live-energy row band before every kernel call:
@@ -580,12 +591,16 @@ def pallas_sweep_chunk(state: ParticleState, tally: jnp.ndarray,
         c = c.add(nf.astype(jnp.uint32), nc.astype(jnp.uint32))
         if exit_live:
             live_c = jnp.count_nonzero(working).astype(jnp.int32)
-        return (s, t, c, rc, rv, rn, it + 1, live_c)
+        if exit_activity:
+            act = (nf + nc).astype(jnp.int32)
+            act0 = jnp.where(it == 0, act, act0)
+        return (s, t, c, rc, rv, rn, it + 1, live_c, act0, act)
 
+    zi = jnp.zeros((), jnp.int32)
     carry = (state, tally, counts, ring_cell, ring_val, ring_cnt,
-             jnp.zeros((), jnp.int32), live0)
+             zi, live0, zi, zi)
     (state, tally, counts, ring_cell, ring_val, ring_cnt,
-     n_done, _) = lax.while_loop(cond, body, carry)
+     n_done, _, _, _) = lax.while_loop(cond, body, carry)
     # Working-lane COUNT (not a bool): the caller's compaction ladder
     # needs the live count anyway, and returning it here saves a whole
     # host round trip per chunk (a separate live_count dispatch costs
