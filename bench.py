@@ -24,6 +24,13 @@ import os
 import sys
 import time
 
+# Persistent XLA/Mosaic executable cache: compiles through the axon
+# tunnel run ~3-4 min per big kernel; the cache cuts every later
+# process's warmup to seconds.  Must be set before jax initializes.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(
+                          __file__)), ".jax_cache"))
+
 # Reference omp3 (GCC -O3 -march=native, this machine's 1-core CPU) —
 # events/s measured in BASELINE.md (split: 1.068e9 events in 110.76 s,
 # 2026-08-17).

@@ -328,14 +328,21 @@ def raster_drain(buf, segbuf, nseg, *, tile: int = TILE, ntx: int,
 # ~10 ns/elem gathers and the sort cost more than the kernel itself —
 # at the price of one dynamic-slice load/store per (segment, tile) visit.
 
-def _walk_kernel(ntx, nty, tsz, occ_ref, seg_hbm, buf_in, buf_out,
-                 acc_vmem, scratch, sems, buf_sem):
+def _walk_kernel(ntx, nty, tsz, skip_links, nc_total, occ_ref, seg_hbm,
+                 buf_in, buf_out, acc_vmem, scratch, sems, buf_sem):
     # occ_ref (scalar prefetch): [n_occupied, chunk_idx_0, chunk_idx_1,
     # ...] — only chunks with at least one live (kk != 0) entry are
     # listed, so an all-empty chunk costs NOTHING here (no DMA, no
     # per-entry scan).  Ring-direct drains stream slot-major ring
     # planes whose high-slot chunks are mostly empty; the caller
     # computes the occupancy list with two cheap vector passes.
+    # With skip_links the list carries a second block of nc_total
+    # per-occupied-chunk LIVE COUNTS (same packing as the indices), and
+    # plane row 15 holds the chunk-local live indices densely packed in
+    # ascending order (_dense_links) — the serial loop then runs
+    # exactly `cnt` dependence-free iterations instead of a
+    # 256-iteration sentinel scan per chunk (ring-direct drains stream
+    # S x N plane slots whose occupancy is often a few percent).
     c1 = occ_ref[0]
     # The accumulator lives in VMEM *scratch* (an aliased in/out VMEM
     # window would be allocated twice and overflow VMEM); explicit
@@ -383,6 +390,15 @@ def _walk_kernel(ntx, nty, tsz, occ_ref, seg_hbm, buf_in, buf_out,
             def _seg():
                 do_seg(p, kk)
 
+            return 0
+
+        def dense_seg(j, _):
+            # Dense-index walk (row 15 = chunk-local indices of the
+            # live entries packed ascending, _dense_links): entry j IS
+            # live — no kk gate, no sentinel scan, and the reads are
+            # dependence-free so the scalar unit can pipeline them.
+            q = scratch[slot, 15, j].astype(i32)
+            do_seg(q, scratch[slot, 4, q])
             return 0
 
         def do_seg(p, kk):
@@ -466,7 +482,14 @@ def _walk_kernel(ntx, nty, tsz, occ_ref, seg_hbm, buf_in, buf_out,
             carry = lax.fori_loop(0, m, step, (tx, ty, t_nx, t_ny))
             visit(carry)  # final tile
 
-        lax.fori_loop(0, p_hi, per_seg, 0)
+        if skip_links:
+            # Dynamic trip count (the kernel already runs a
+            # dynamic-bound fori over each segment's tile visits; a
+            # lax.while_loop here instead measured 16x slower to
+            # Mosaic-compile).
+            lax.fori_loop(0, occ_ref[1 + nc_total + ci], dense_seg, 0)
+        else:
+            lax.fori_loop(0, p_hi, per_seg, 0)
         return 0
 
     lax.fori_loop(0, c1, outer, 0)
@@ -474,28 +497,37 @@ def _walk_kernel(ntx, nty, tsz, occ_ref, seg_hbm, buf_in, buf_out,
     pltpu.make_async_copy(acc_vmem, buf_out, buf_sem).wait()
 
 
-def _occupied_chunks(kk_flat):
+def _occupied_chunks(kk_flat, with_counts=False):
     """[n_occ, idx...] i32 vector of _CHUNK-chunks with any kk != 0.
 
     The compaction is a chunk-count-sized scatter (~nc entries), so the
     cost is two vector passes over the kk plane — microseconds against
-    the scan time the kernel saves on empty chunks.
+    the scan time the kernel saves on empty chunks.  With with_counts a
+    second nc-sized block holds each occupied chunk's LIVE-entry count
+    (packed in the same order), for the dense-index serial loop.
     """
     nc = kk_flat.shape[0] // _CHUNK
-    occ = jnp.any((kk_flat != 0).reshape(nc, _CHUNK), axis=1)
+    live = (kk_flat != 0).reshape(nc, _CHUNK)
+    cnt = jnp.sum(live.astype(jnp.int32), axis=1)
+    occ = cnt > 0
     pos = jnp.cumsum(occ.astype(jnp.int32)) - 1
-    occ_list = jnp.zeros((nc,), jnp.int32).at[
-        jnp.where(occ, pos, nc)].set(
+    dest = jnp.where(occ, pos, nc)
+    occ_list = jnp.zeros((nc,), jnp.int32).at[dest].set(
         jnp.arange(nc, dtype=jnp.int32), mode="drop")
     n_occ = jnp.sum(occ.astype(jnp.int32)).reshape(1)
-    return jnp.concatenate([n_occ, occ_list])
+    if not with_counts:
+        return jnp.concatenate([n_occ, occ_list])
+    cnt_list = jnp.zeros((nc,), jnp.int32).at[dest].set(cnt, mode="drop")
+    return jnp.concatenate([n_occ, occ_list, cnt_list])
 
 
-def _walk_call(buf, planes, occ, *, tile, ntx, nty, interpret):
+def _walk_call(buf, planes, occ, *, tile, ntx, nty, interpret,
+               skip_links=False):
     """pallas_call wrapper over (rows>=5, M) f32 segment planes."""
     rows = planes.shape[0]
+    nc_total = planes.shape[1] // _CHUNK
     out = pl.pallas_call(
-        partial(_walk_kernel, ntx, nty, tile),
+        partial(_walk_kernel, ntx, nty, tile, skip_links, nc_total),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(1,),
@@ -620,8 +652,28 @@ def _setup_planes(gx0, gy0, gx1, gy1, kk, *, tsz, ntx, nty):
             flags]
 
 
+def _dense_links(kk):
+    """Chunk-local dense live-index row (f32) for the walker.
+
+    Per 256-entry chunk, the indices of live (kk != 0) entries packed
+    at the front in ASCENDING order (dead indices follow, also
+    ascending) — a stable 256-wide sort vectorized over all chunks.
+    The kernel's serial loop then runs exactly cnt dependence-free
+    iterations per chunk (_walk_kernel `dense_seg`) in the SAME order
+    the sentinel scan would visit them, so deposits are bitwise
+    identical.
+    """
+    nc = kk.shape[0] // _CHUNK
+    idx = jnp.broadcast_to(jnp.arange(_CHUNK, dtype=jnp.int32),
+                           (nc, _CHUNK))
+    keys = jnp.where(kk.reshape(nc, _CHUNK) != 0, idx, idx + _CHUNK)
+    order = jnp.sort(keys, axis=1) % _CHUNK
+    return order.astype(jnp.float32).reshape(-1)
+
+
 def _walk_banded(buf, fields, *, tile: int, ntx: int, nty: int,
-                 interpret: bool, band_nty: int | None = None):
+                 interpret: bool, band_nty: int | None = None,
+                 skip_links: bool = False):
     """Walker drain of flat field vectors (gx0, gy0, gx1, gy1, kk).
 
     With band_nty < nty the buffer is processed in horizontal bands of
@@ -642,14 +694,18 @@ def _walk_banded(buf, fields, *, tile: int, ntx: int, nty: int,
         setup = _setup_planes(*fields, tsz=tile, ntx=ntx, nty=ntyb)
         padded = [jnp.concatenate([f, zrow[:pad]]) if pad else f
                   for f in setup]
-        # 16 rows (15 setup + 1 zero pad): Mosaic HBM slices must be
-        # aligned to the (8, 128) tiling along the leading dim.
-        return jnp.stack(padded + [zrow], axis=0)
+        # 16 rows (15 setup + dense-index row 15, or a zero pad): Mosaic
+        # HBM slices must be aligned to the (8, 128) tiling along the
+        # leading dim.
+        last = _dense_links(padded[4]) if skip_links else zrow
+        return jnp.stack(padded + [last], axis=0)
 
     if band_nty is None or band_nty >= nty:
         planes = planes_of([gx0, gy0, gx1, gy1, kk], nty)
-        return _walk_call(buf, planes, _occupied_chunks(planes[4]),
-                          tile=tile, ntx=ntx, nty=nty, interpret=interpret)
+        return _walk_call(buf, planes,
+                          _occupied_chunks(planes[4], skip_links),
+                          tile=tile, ntx=ntx, nty=nty, interpret=interpret,
+                          skip_links=skip_links)
 
     for b in range(-(-nty // band_nty)):
         t0 = b * band_nty
@@ -659,8 +715,10 @@ def _walk_banded(buf, fields, *, tile: int, ntx: int, nty: int,
                            jnp.float32(y0), jnp.float32(y0 + ntyb * tile))
         planes = planes_of(list(cf), ntyb)
         sub = lax.slice(buf, (y0, 0), (y0 + ntyb * tile, buf.shape[1]))
-        sub = _walk_call(sub, planes, _occupied_chunks(planes[4]),
-                         tile=tile, ntx=ntx, nty=ntyb, interpret=interpret)
+        sub = _walk_call(sub, planes,
+                         _occupied_chunks(planes[4], skip_links),
+                         tile=tile, ntx=ntx, nty=ntyb, interpret=interpret,
+                         skip_links=skip_links)
         buf = lax.dynamic_update_slice(buf, sub, (y0, 0))
     return buf
 
@@ -680,14 +738,16 @@ def rasterize_walk_impl(buf, segbuf, nseg, *, tile: int = TILE, ntx: int,
     kk = jnp.where(jnp.arange(scap) < nseg, segbuf[:, 4], 0.0)
     fields = (segbuf[:, 0], segbuf[:, 1], segbuf[:, 2], segbuf[:, 3], kk)
     return _walk_banded(buf, fields, tile=tile, ntx=ntx, nty=nty,
-                        interpret=interpret, band_nty=band_nty)
+                        interpret=interpret, band_nty=band_nty,
+                        skip_links=True)
 
 
 def rasterize_walk_rings_impl(buf, sfields, sn, *, tile: int = TILE,
                               ntx: int, nty: int,
                               interpret: bool = False,
                               kk_authoritative: bool = False,
-                              band_nty: int | None = None):
+                              band_nty: int | None = None,
+                              compact: bool = True):
     """Walker raster drain straight from the per-lane segment rings.
 
     `sfields` are the 5 (S, N) ring planes [gx0, gy0, gx1, gy1, kk] and
@@ -710,7 +770,8 @@ def rasterize_walk_rings_impl(buf, sfields, sn, *, tile: int = TILE,
         kk = jnp.where(valid, sfields[4], 0.0)
     fields = tuple(f.reshape(-1) for f in sfields[:4]) + (kk.reshape(-1),)
     buf = _walk_banded(buf, fields, tile=tile, ntx=ntx, nty=nty,
-                       interpret=interpret, band_nty=band_nty)
+                       interpret=interpret, band_nty=band_nty,
+                       skip_links=compact)
     sfields = (sfields[0], sfields[1], sfields[2], sfields[3],
                jnp.zeros_like(sfields[4]))
     return buf, (sfields, jnp.zeros_like(sn))
@@ -729,16 +790,17 @@ def rasterize_walk(buf, segbuf, nseg, *, tile: int = TILE, ntx: int,
 
 
 @partial(jax.jit, static_argnames=("tile", "ntx", "nty", "interpret",
-                                   "band_nty"),
+                                   "band_nty", "compact"),
          donate_argnums=(0,))
 def rasterize_walk_rings(buf, sfields, sn, *, tile: int = TILE, ntx: int,
                          nty: int, interpret: bool = False,
-                         band_nty: int | None = None):
+                         band_nty: int | None = None,
+                         compact: bool = True):
     """Jitted ring-direct walker drain; see rasterize_walk_rings_impl."""
     return rasterize_walk_rings_impl(buf, sfields, sn, tile=tile,
                                      ntx=ntx, nty=nty,
                                      interpret=interpret,
-                                     band_nty=band_nty)
+                                     band_nty=band_nty, compact=compact)
 
 
 def walker_fits(ntx: int, nty: int, tile: int = TILE,

@@ -19,6 +19,13 @@ import sys
 
 import pytest
 
+# Persistent executable cache (see bench.py): Mosaic compiles through
+# the axon tunnel cost minutes each; cold-start of this tier drops from
+# >10 min to ~2 min once the cache is warm.  Set before jax init.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+
 _probe_result = None
 
 
