@@ -210,6 +210,32 @@ def test_rasterize_walk_interpret_matches_ref():
                                atol=1e-5)
 
 
+def test_dense_links_and_counts_properties():
+    """The walker's dense-index row and occupancy-count blocks: per
+    256-chunk, row 15 leads with the ascending indices of live entries
+    and the counts block matches, across occupancy extremes (empty,
+    singleton, full, random)."""
+    C = raster._CHUNK
+    rng = np.random.default_rng(3)
+    nc = 7
+    kk = (rng.uniform(size=nc * C) < 0.07).astype(np.float32)
+    kk[:C] = 0.0                       # empty chunk
+    kk[C:2 * C] = 0.0
+    kk[C + 200] = 1.0                  # singleton
+    kk[2 * C:3 * C] = 1.0              # full chunk
+    dense = np.asarray(raster._dense_links(jnp.asarray(kk))).reshape(
+        nc, C).astype(np.int64)
+    occ = np.asarray(raster._occupied_chunks(jnp.asarray(kk), True))
+    n_occ, idx_blk, cnt_blk = occ[0], occ[1:1 + nc], occ[1 + nc:]
+    live_chunks = [c for c in range(nc) if kk[c * C:(c + 1) * C].any()]
+    assert n_occ == len(live_chunks)
+    assert list(idx_blk[:n_occ]) == live_chunks
+    for pos, c in enumerate(live_chunks):
+        want = np.flatnonzero(kk[c * C:(c + 1) * C])
+        assert cnt_blk[pos] == len(want)
+        np.testing.assert_array_equal(dense[c, :len(want)], want)
+
+
 def test_rasterize_walk_rings_interpret_matches_ref():
     """Ring-direct walker: (S, N) ring planes deposit like the flat
     batch, stale slots (>= sn) are ignored, rings come back empty."""
