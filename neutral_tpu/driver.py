@@ -962,7 +962,7 @@ class Simulation(SimulationBase):
         min_cap = self.compact_min
 
         def pick_kmax(width, exit_live):
-            """(k_pieces, max_calls) for a working width.
+            """(k_pieces, max_calls, seg_repeat) for a working width.
 
             Small (compacted tail) widths amortize the while-loop's
             per-call bookkeeping over more fused pieces per kernel
@@ -977,6 +977,13 @@ class Simulation(SimulationBase):
             big = width > 262144
             k = (getattr(self, "flight_k_pieces", None)
                  or (8 if big else 16))
+            # Tail widths in walker mode amortize the walker drain's
+            # per-call fixed cost (~1.4 ms plane-stack dispatch + padded
+            # buffer VMEM round trip — it dominates the ~0.4 ms kernel
+            # at 65k lanes) over seg_repeat sub-calls per drain
+            # (pallas_flight_chunk seg_repeat; measured on csp below).
+            sr = (getattr(self, "flight_seg_repeat", None)
+                  or (4 if (use_walker and not big) else 1))
             if big:
                 default_mc = (64 if exit_live else 32) if use_walker else 32
             elif use_walker:
@@ -985,13 +992,13 @@ class Simulation(SimulationBase):
                 # costs a blocking ~33 ms ctrl round trip through the
                 # axon tunnel — run the whole death tail to work
                 # exhaustion in ONE dispatch (the in-loop drains keep
-                # rings empty; 512 calls bounds the worst-case dispatch
-                # length for link robustness).
-                default_mc = 512
+                # rings empty; 512 kernel calls bounds the worst-case
+                # dispatch length for link robustness).
+                default_mc = 512 // sr
             else:
                 default_mc = 128
             mc = getattr(self, "flight_max_calls", None) or default_mc
-            return k, mc
+            return k, mc, sr
 
         def seg_slots(width):
             # Piece-plane rings (walker mode): plane p belongs to piece
@@ -1000,7 +1007,8 @@ class Simulation(SimulationBase):
             # big widths, 8 at tail widths (deeper rings amortize the
             # extraction cadence; VMEM is plentiful there).
             if use_walker:
-                return pick_kmax(width, 0)[0]
+                k, _, sr = pick_kmax(width, 0)
+                return k * sr
             return 4 if width > 262144 else 8
 
         fc, fv, fn = make_rings(part.n, tally_dt, ring_slots=8)
@@ -1033,7 +1041,7 @@ class Simulation(SimulationBase):
                          if (self.compact_enabled and part.n > min_cap
                              and (part.n > 262144 or not use_walker))
                          else 0)
-            k_pieces, max_calls = pick_kmax(part.n, exit_live)
+            k_pieces, max_calls, seg_repeat = pick_kmax(part.n, exit_live)
             (part, self.tally, counts, fc, fv, fn, sfields, sn, segbuf,
              rb_out, ctrl) = pallas_flight_chunk(
                 part, self.tally, counts, fc, fv, fn, sfields, sn, segbuf,
@@ -1045,7 +1053,8 @@ class Simulation(SimulationBase):
                 seg_plane=use_walker,
                 scatter_layout=self.scatter_layout,
                 absorb_layout=self.absorb_layout, band_nty=band_nty,
-                exit_live=exit_live, exit_collapse=_EXIT_COLLAPSE)
+                exit_live=exit_live, exit_collapse=_EXIT_COLLAPSE,
+                seg_repeat=seg_repeat if use_walker else 1)
             if use_walker:
                 # Ring-direct in-loop walker: segments rasterized into
                 # rbuf INSIDE the chunk program; rings are empty at every

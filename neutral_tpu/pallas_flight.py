@@ -453,7 +453,8 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
                              scatter_layout: TableLayout | None = None,
                              absorb_layout: TableLayout | None = None,
                              band_nty: int | None = None,
-                             exit_live: int = 0, exit_collapse: int = 4):
+                             exit_live: int = 0, exit_collapse: int = 4,
+                             seg_repeat: int = 1):
     """Fused flight chunk: kernel calls + in-loop ring drains.
 
     Flush rings drain straight into the tally (pallas_sweep._drain_rings).
@@ -479,6 +480,18 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
     Returns (..., rbuf_or_None, ncalls*k_pieces, n_work, nseg_pending) —
     n_work the workable-lane count (compaction live count for unwindowed
     callers).
+
+    `seg_repeat` M > 1 (seg_plane + in-loop walker only): each
+    while-iteration runs M kernel sub-calls, sub-call j owning the
+    k-plane slice [j*k, (j+1)*k) of an (M*k, n) segment ring, and the
+    walker drain fires once per ITERATION instead of once per kernel
+    call.  The drain's fixed cost (plane-stack dispatch + the padded
+    accumulation buffer's VMEM round trip, ~1.4 ms) dominates
+    compacted-tail chunks (measured ~2.4 ms per 65k-lane call on csp,
+    of which the kernel itself is ~0.4 ms), so amortizing it over M
+    calls is a direct tail speedup; flush-ring drains and event-count
+    reductions keep their per-sub-call cadence, so the u32 width
+    bounds are unchanged.
 
     `exit_live` > 0: in-kernel census-cliff exit — the while_loop stops
     once the workable-lane count BOTH drops below exit_live AND
@@ -510,6 +523,14 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
         # Piece-plane rings are overwritten by the NEXT kernel call, so
         # they are only sound with the guaranteed in-loop drain cadence.
         raise ValueError("seg_plane requires the in-loop walker (rbuf)")
+    if seg_repeat > 1:
+        if not (seg_plane and in_loop):
+            raise ValueError("seg_repeat > 1 requires seg_plane + the "
+                             "in-loop walker")
+        if s_slots != seg_repeat * k_pieces:
+            raise ValueError(f"seg_repeat ring needs s_slots == "
+                             f"seg_repeat*k_pieces ({seg_repeat}*"
+                             f"{k_pieces}), got {s_slots}")
 
     def working(s):
         w = (~s.dead) & (s.dt_to_census > 0)
@@ -540,9 +561,67 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
                        | (exit_collapse * live_c >= live0))
         return ok
 
+    def _one_call(s, t, c, fc, fv, fn, sfr, sn):
+        """One fused kernel sub-call on the k-plane ring slice it owns:
+        energy band + physics + flush-ring pressure drain + event-count
+        accumulation (seg_plane semantics — flush rings are the only
+        lane gate).  Keeping the count reduction per sub-call preserves
+        the u64_sum_u32 width-2048 overflow bound (k_pieces <= 32)."""
+        band = None
+        if scatter_layout is not None:
+            w0 = working(s)
+            srlo, srhi = energy_band(s.energy, w0, scatter_layout.keys,
+                                     k_pieces)
+            if geom.same_xs:
+                band = jnp.stack([srlo, srhi, srlo, srhi])
+            else:
+                arlo, arhi = energy_band(s.energy, w0, absorb_layout.keys,
+                                         k_pieces)
+                band = jnp.stack([srlo, srhi, arlo, arhi])
+        s, (fc, fv, fn), (sfr, sn), nfac, ncol = pallas_flight_multi(
+            s, (fc, fv, fn), (sfr, sn), scatter_tab, absorb_tab, geom,
+            master_key, inv_ntotal, t, k_pieces=k_pieces,
+            interpret=interpret, x_off=x_off, y_off=y_off,
+            seg_plane=True, scatter_layout=scatter_layout,
+            absorb_layout=absorb_layout, band=band)
+        w = working(s)
+        f_full = fn >= fc.shape[0] - 1
+        do_drain = ((jnp.count_nonzero(w & f_full) > pause_budget)
+                    | (jnp.any(w) & ~jnp.any(w & ~f_full)))
+        t, fc, fv, fn = lax.cond(
+            do_drain & jnp.any(fn > 0),
+            lambda op: _drain_rings(*op), lambda op: op,
+            (t, fc, fv, fn))
+        nf_hi, nf_lo = u64_sum_u32(nfac, width=2048)
+        fh, fl = rng._add64(c.nfacets_hi, c.nfacets_lo, nf_hi, nf_lo)
+        nc_hi, nc_lo = u64_sum_u32(ncol.astype(jnp.uint32), width=2048)
+        ch, cl = rng._add64(c.ncollisions_hi, c.ncollisions_lo,
+                            nc_hi, nc_lo)
+        return s, t, EventCounts(fh, fl, ch, cl), fc, fv, fn, sfr, sn, w
+
     def body(carry):
         (s, t, c, fc, fv, fn, sf, sn, sb, base, sp, rb, it, full,
          live_c) = carry
+        if seg_repeat > 1:
+            # M sub-calls, each writing its own k-plane slice; ONE
+            # walker drain per iteration (see the seg_repeat docstring).
+            # The slice round trip is a ~k*n*5-word copy per sub-call —
+            # negligible at the compacted-tail widths this mode targets.
+            for j in range(seg_repeat):
+                sfr = tuple(lax.slice_in_dim(
+                    f, j * k_pieces, (j + 1) * k_pieces, axis=0)
+                    for f in sf)
+                s, t, c, fc, fv, fn, sfr, sn, w = _one_call(
+                    s, t, c, fc, fv, fn, sfr, sn)
+                sf = tuple(lax.dynamic_update_slice_in_dim(
+                    f, fj, j * k_pieces, 0) for f, fj in zip(sf, sfr))
+            if exit_live:
+                live_c = jnp.count_nonzero(w).astype(jnp.int32)
+            rb, sf, sn = lax.cond(
+                jnp.any(sn > 0), seg_drain, lambda op: op,
+                (rb, sf, sn))
+            return (s, t, c, fc, fv, fn, sf, sn, sb, base, sp, rb,
+                    it + 1, full, live_c)
         band = None
         if scatter_layout is not None:
             # Live-energy row band, re-derived before every kernel call;
@@ -669,14 +748,16 @@ def pallas_flight_chunk_impl(state: ParticleState, tally,
     n_work = jnp.count_nonzero(working(state)).astype(jnp.int32)
     nseg_pending = jnp.sum(jnp.minimum(sn, s_slots), dtype=jnp.int32)
     return (state, tally, counts, fc, fv, fn, sfields, sn, segbuf, sbase,
-            spairs, rbuf, ncalls * k_pieces, n_work, nseg_pending)
+            spairs, rbuf, ncalls * (k_pieces * seg_repeat), n_work,
+            nseg_pending)
 
 
 @partial(jax.jit, static_argnames=("geom", "inv_ntotal", "max_calls",
                                    "k_pieces", "tile", "pair_cap",
                                    "interpret", "use_ring_walker",
                                    "ntx", "nty", "seg_plane", "band_nty",
-                                   "exit_live", "exit_collapse"),
+                                   "exit_live", "exit_collapse",
+                                   "seg_repeat"),
          donate_argnums=(0, 1, 3, 4, 5, 6, 7, 8, 11))
 def pallas_flight_chunk(state: ParticleState, tally, counts: EventCounts,
                         fc, fv, fn, sfields, sn, segbuf, sbase, spairs,
@@ -692,7 +773,8 @@ def pallas_flight_chunk(state: ParticleState, tally, counts: EventCounts,
                         scatter_layout: TableLayout | None = None,
                         absorb_layout: TableLayout | None = None,
                         band_nty: int | None = None,
-                        exit_live: int = 0, exit_collapse: int = 4):
+                        exit_live: int = 0, exit_collapse: int = 4,
+                        seg_repeat: int = 1):
     """Jitted single-device wrapper of pallas_flight_chunk_impl.
 
     `rbuf` — the padded (nty*tile, ntx*tile) f32 raster buffer, or None
@@ -712,7 +794,8 @@ def pallas_flight_chunk(state: ParticleState, tally, counts: EventCounts,
         use_ring_walker=use_ring_walker, rbuf=rbuf, ntx=ntx, nty=nty,
         seg_plane=seg_plane, scatter_layout=scatter_layout,
         absorb_layout=absorb_layout, band_nty=band_nty,
-        exit_live=exit_live, exit_collapse=exit_collapse)
+        exit_live=exit_live, exit_collapse=exit_collapse,
+        seg_repeat=seg_repeat)
     ctrl = jnp.stack([done.astype(jnp.int32), sbase, spairs, n_work,
                       npend])
     return (state, tally, counts, fc, fv, fn, sfields, sn, segbuf, rbuf,
