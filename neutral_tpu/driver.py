@@ -1076,7 +1076,7 @@ class Simulation(SimulationBase):
             phases["raster"] += _time.perf_counter() - t1
             if dbg:
                 print(f"[flight-fused] n={part.n} chunk={t1 - t0:.3f}s "
-                      f"calls={done // max(k_pieces, 1)} "
+                      f"calls={done // max(k_pieces * seg_repeat, 1)} "
                       f"sbase={nseg} npend={npend}", flush=True)
             if live == 0:
                 break
